@@ -1,0 +1,225 @@
+"""Two-mode Schur-complement marginalization producing a square-root prior.
+
+Mirrors MarginalizationInfo::marginalize
+(/root/reference/vins_estimator/src/factor/marginalization_factor.cpp:174-297):
+
+  * MARGIN_OLD — collect {old prior, IMU(0,1), projection factors anchored at
+    frame 0}, Gauss-Newton assemble H,b, Schur-eliminate {pose0, speedbias0,
+    anchored inverse depths}, then recover the square-root prior
+    J = S^{1/2} Vᵀ, r = S^{-1/2} Vᵀ b via eigendecomposition with the
+    reference's eps=1e-8 pseudo-inverse.
+  * MARGIN_SECOND_NEW — only the old prior participates; drop pose[W-1]
+    (the discarded second-newest frame).
+
+TPU-native differences: static full-layout shapes (dropped blocks become
+zero columns, no index bookkeeping); the depth block is eliminated
+analytically (it is diagonal) before the small dense elimination; the whole
+routine is one jittable function. The host driver runs it on the CPU backend
+in f64 — it is tiny (D=172) and precision-critical, the classic case for
+host offload (SURVEY.md §7 hard part #1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .state import (
+    WindowState,
+    FeatureGrid,
+    PriorFactor,
+    SolverConfig,
+    pose_dim,
+    pose_off,
+    sb_off,
+)
+from .solver import assemble_normal_equations
+from .factors import prior_residual, state_box_minus
+
+EPS = 1e-8  # reference eigenvalue threshold (marginalization_factor.h eps)
+
+
+def _eliminate_indices(H, b, idx_mask):
+    """Schur-eliminate the rows/cols selected by idx_mask (boolean [D]) using
+    an eigendecomposition pseudo-inverse of the mm block (reference
+    marginalization_factor.cpp:266-281), keeping static shapes: eliminated
+    rows/cols of the result are zero."""
+    D = H.shape[0]
+    m = idx_mask.astype(H.dtype)
+    r = 1.0 - m
+    # Amm as a full-size matrix restricted to the dropped block.
+    Amm = H * m[:, None] * m[None, :]
+    Amm = 0.5 * (Amm + Amm.T)
+    # Add identity on the kept part so eigh is well-conditioned; those
+    # eigenpairs are excluded from the inverse by masking eigenvectors.
+    w, V = jnp.linalg.eigh(Amm + jnp.diag(r))
+    # Pseudo-inverse over the dropped subspace only: eigenvectors with
+    # support on kept coords correspond to the added identity (eigenvalue 1
+    # with kept-basis vectors); mask them out by projecting V onto dropped
+    # coords.
+    Vm = V * m[:, None]
+    w_eff = jnp.einsum("ij,ij->j", Vm, jnp.einsum("ik,kj->ij", Amm, Vm))
+    inv_w = jnp.where(w_eff > EPS, 1.0 / jnp.maximum(w_eff, EPS), 0.0)
+    # Normalize columns restricted to dropped coords (they may lose norm).
+    norms = jnp.sum(Vm * Vm, axis=0)
+    scale = jnp.where(norms > 1e-12, 1.0 / jnp.maximum(norms, 1e-12), 0.0)
+    Amm_inv = (Vm * (inv_w * scale)[None, :]) @ Vm.T
+
+    Arm = H * r[:, None] * m[None, :]  # kept rows, dropped cols
+    Arr = H * r[:, None] * r[None, :]
+    bmm = b * m
+    brr = b * r
+    H_new = Arr - Arm @ Amm_inv @ Arm.T
+    b_new = brr - Arm @ (Amm_inv @ bmm)
+    return H_new, b_new
+
+
+def _sqrt_factorize(H, b):
+    """H = Jᵀ J, b = Jᵀ r recovery (marginalization_factor.cpp:283-291)."""
+    Hs = 0.5 * (H + H.T)
+    w, V = jnp.linalg.eigh(Hs)
+    S = jnp.where(w > EPS, w, 0.0)
+    S_inv = jnp.where(w > EPS, 1.0 / jnp.maximum(w, EPS), 0.0)
+    J = jnp.sqrt(S)[:, None] * V.T
+    r = (jnp.sqrt(S_inv)[:, None] * V.T) @ b
+    return J, r
+
+
+def _drop_mask_old(n_frames: int, dtype=bool):
+    D = pose_dim(n_frames)
+    mask = jnp.zeros((D,), dtype)
+    mask = mask.at[pose_off(0) : pose_off(0) + 6].set(True)
+    mask = mask.at[sb_off(0, n_frames) : sb_off(0, n_frames) + 9].set(True)
+    return mask
+
+
+def _shift_prior_blocks(J, r, n_frames: int):
+    """Re-index prior columns for the window slide: new slot k = old slot k+1
+    for both pose and speed-bias blocks; the refreshed last slot gets zero
+    columns (it is a brand-new frame with no prior information)."""
+    D = pose_dim(n_frames)
+    perm = []
+    for k in range(n_frames - 1):
+        perm.extend(range(pose_off(k + 1), pose_off(k + 1) + 6))
+    perm.extend([pose_off(0) + i for i in range(6)])  # dead cols (will be zero)
+    for k in range(n_frames - 1):
+        perm.extend(range(sb_off(k + 1, n_frames), sb_off(k + 1, n_frames) + 9))
+    perm.extend([sb_off(0, n_frames) + i for i in range(9)])
+    perm.extend(range(15 * n_frames, D))  # ex + td unchanged
+    perm = jnp.asarray(perm)
+    J_shift = J[:, perm]
+    # Zero the refreshed slot explicitly (its source cols were the dropped
+    # frame-0 blocks, eliminated to zero already — this is belt & braces).
+    J_shift = J_shift.at[:, pose_off(n_frames - 1) : pose_off(n_frames - 1) + 6].set(0.0)
+    J_shift = J_shift.at[
+        :, sb_off(n_frames - 1, n_frames) : sb_off(n_frames - 1, n_frames) + 9
+    ].set(0.0)
+    return J_shift, r
+
+
+def _shift_state_snapshot(state: WindowState):
+    """Snapshot x0 with frame blocks shifted down by one (slide-old)."""
+    roll = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+    return WindowState(
+        p=roll(state.p), q=roll(state.q), v=roll(state.v),
+        ba=roll(state.ba), bg=roll(state.bg),
+        tic=state.tic, qic=state.qic, td=state.td,
+        inv_depth=state.inv_depth,
+    )
+
+
+def marginalize_old(
+    state: WindowState,
+    grid: FeatureGrid,
+    pre0,
+    sqrt_info_imu0,
+    imu0_valid,
+    prior: PriorFactor,
+    gravity,
+    cfg: SolverConfig,
+):
+    """MARGIN_OLD: marginalize frame 0 and its anchored landmarks; return the
+    new PriorFactor already re-indexed for the slid window."""
+    n_frames = state.p.shape[0]
+    dtype = state.p.dtype
+
+    # Restrict projection factors to features anchored at frame 0 by shrinking
+    # the 'used' mask; reuse the solver's assembly.
+    grid0 = FeatureGrid(
+        bearing=grid.bearing,
+        velocity=grid.velocity,
+        td_obs=grid.td_obs,
+        valid=grid.valid,
+        anchor=grid.anchor,
+        used=grid.used & (grid.anchor == 0),
+    )
+    # Single-interval IMU factor: mask all but interval 0.
+    imu_valid = jnp.zeros_like(imu0_valid).at[0].set(imu0_valid[0])
+
+    H_pp, H_pl, H_ll, b_p, b_l, _ = assemble_normal_equations(
+        state, grid0, pre0, sqrt_info_imu0, imu_valid, prior, gravity, cfg
+    )
+
+    # Eliminate the anchored inverse depths analytically (diagonal block).
+    drop_f = grid0.used & (H_ll > EPS)
+    inv_Hll = jnp.where(drop_f, 1.0 / jnp.maximum(H_ll, EPS), 0.0)
+    H_pp = H_pp - (H_pl * inv_Hll[None, :]) @ H_pl.T
+    b_p = b_p - H_pl @ (inv_Hll * b_l)
+
+    # Eliminate pose0 + speedbias0.
+    H_new, b_new = _eliminate_indices(H_pp, b_p, _drop_mask_old(n_frames))
+    J, r = _sqrt_factorize(H_new, b_new)
+    J, r = _shift_prior_blocks(J, r, n_frames)
+    x0 = _shift_state_snapshot(state)
+    return PriorFactor.from_state(J, r, x0)
+
+
+def marginalize_second_new(state: WindowState, prior: PriorFactor, cfg: SolverConfig):
+    """MARGIN_SECOND_NEW: drop pose[W-1] from the existing prior only
+    (estimator.cpp:949-1005). Returns the new prior re-indexed for the
+    'merge-second-newest' slide (slot W-1 <- slot W)."""
+    n_frames = prior.x0_p.shape[0]
+    D = pose_dim(n_frames)
+    dtype = prior.J.dtype
+
+    # Evaluate the prior at the current state and rebuild H, b.
+    rp = prior_residual(state, prior)
+    J0 = jnp.where(prior.valid, prior.J, jnp.zeros_like(prior.J))
+    H = J0.T @ J0
+    b = J0.T @ rp
+
+    drop = jnp.zeros((D,), bool)
+    drop = drop.at[pose_off(n_frames - 2) : pose_off(n_frames - 2) + 6].set(True)
+    H_new, b_new = _eliminate_indices(H, b, drop)
+    J, r = _sqrt_factorize(H_new, b_new)
+
+    # Slide: slots 0..W-2 unchanged; slot W-1 takes slot W's (empty) columns.
+    pose_src = list(range(0, pose_off(n_frames - 2))) + list(
+        range(pose_off(n_frames - 1), pose_off(n_frames - 1) + 6)
+    ) + list(range(pose_off(n_frames - 1), pose_off(n_frames - 1) + 6))
+    perm = []
+    for k in range(n_frames):
+        src = k if k < n_frames - 2 else n_frames - 1  # W-1 <- W, W <- W (dead)
+        perm.extend(range(pose_off(src), pose_off(src) + 6))
+    for k in range(n_frames):
+        src = k if k < n_frames - 2 else n_frames - 1
+        perm.extend(range(sb_off(src, n_frames), sb_off(src, n_frames) + 9))
+    perm.extend(range(15 * n_frames, D))
+    perm = jnp.asarray(perm)
+    J = J[:, perm]
+    J = J.at[:, pose_off(n_frames - 1) : pose_off(n_frames - 1) + 6].set(0.0)
+    J = J.at[
+        :, sb_off(n_frames - 1, n_frames) : sb_off(n_frames - 1, n_frames) + 9
+    ].set(0.0)
+
+    # x0: slot W-1 takes slot W's values (the surviving newest frame).
+    def merge(a):
+        return a.at[n_frames - 2].set(a[n_frames - 1])
+
+    x0 = WindowState(
+        p=merge(state.p), q=merge(state.q), v=merge(state.v),
+        ba=merge(state.ba), bg=merge(state.bg),
+        tic=state.tic, qic=state.qic, td=state.td,
+        inv_depth=state.inv_depth,
+    )
+    return PriorFactor.from_state(J, r, x0)

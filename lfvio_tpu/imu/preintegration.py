@@ -1,0 +1,248 @@
+"""IMU midpoint preintegration with first-order bias Jacobians and noise
+covariance propagation.
+
+Semantics follow the reference's IntegrationBase
+(/root/reference/vins_estimator/src/factor/integration_base.h:54-186):
+midpoint integration of (Δp, Δq, Δv) between two camera frames, a 15×15
+Jacobian w.r.t. [p, θ, v, ba, bg] propagated as J ← F·J, and covariance
+P ← F·P·Fᵀ + V·N·Vᵀ with an 18×18 diagonal input noise.
+
+TPU-native differences from the reference:
+  * One ``jax.lax.scan`` over a fixed-size padded sample buffer replaces the
+    per-sample ``push_back``/``propagate`` calls; padding samples use dt=0,
+    which is an exact no-op of the recursion (F=I, V=0).
+  * ``repropagate`` (integration_base.h:38-52) is just calling
+    ``preintegrate`` again with new biases over the same buffer — the
+    functional formulation makes re-integration free of mutable state.
+  * Everything is batched: vmap over the 10 window intervals integrates all
+    preintegrations in parallel.
+
+State ordering: O_P=0, O_R=3, O_V=6, O_BA=9, O_BG=12 (parameters.h).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..geom import (
+    quat_identity,
+    quat_mul,
+    quat_conj,
+    quat_normalize,
+    quat_rotate,
+    quat_from_small_angle,
+    quat_to_mat,
+    skew,
+)
+
+O_P, O_R, O_V, O_BA, O_BG = 0, 3, 6, 9, 12
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda c: ([getattr(c, n) for n in fields], None),
+        lambda aux, ch: cls(*ch),
+    )
+    return cls
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class ImuNoise:
+    """Continuous-ish noise densities (config acc_n/gyr_n/acc_w/gyr_w)."""
+
+    acc_n: Any
+    gyr_n: Any
+    acc_w: Any
+    gyr_w: Any
+
+    def noise_matrix(self, dtype):
+        d = jnp.concatenate(
+            [
+                jnp.full((3,), self.acc_n**2, dtype=dtype),
+                jnp.full((3,), self.gyr_n**2, dtype=dtype),
+                jnp.full((3,), self.acc_n**2, dtype=dtype),
+                jnp.full((3,), self.gyr_n**2, dtype=dtype),
+                jnp.full((3,), self.acc_w**2, dtype=dtype),
+                jnp.full((3,), self.gyr_w**2, dtype=dtype),
+            ]
+        )
+        return jnp.diag(d)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class Preintegration:
+    """Result of integrating one inter-frame IMU interval."""
+
+    delta_p: Any  # [3]
+    delta_q: Any  # [4] wxyz
+    delta_v: Any  # [3]
+    jacobian: Any  # [15, 15] d(delta)/d[p,θ,v,ba,bg] at linearization biases
+    covariance: Any  # [15, 15]
+    sum_dt: Any  # scalar
+    linearized_ba: Any  # [3]
+    linearized_bg: Any  # [3]
+
+
+def _midpoint_step(carry, inp, noise_mat):
+    """One midpoint step of the delta-state + Jacobian + covariance recursion
+    (integration_base.h:54-158). carry acc/gyr hold the previous sample."""
+    (dp, dq, dv, jac, cov, sum_dt, acc_0, gyr_0, ba, bg) = carry
+    dt, acc_1, gyr_1 = inp
+    dtype = dp.dtype
+
+    un_acc_0 = quat_rotate(dq, acc_0 - ba)
+    un_gyr = 0.5 * (gyr_0 + gyr_1) - bg
+    dq_new = quat_mul(dq, quat_from_small_angle(un_gyr * dt))
+    un_acc_1 = quat_rotate(dq_new, acc_1 - ba)
+    un_acc = 0.5 * (un_acc_0 + un_acc_1)
+    dp_new = dp + dv * dt + 0.5 * un_acc * dt * dt
+    dv_new = dv + un_acc * dt
+
+    R0 = quat_to_mat(dq)
+    R1 = quat_to_mat(dq_new)
+    Rw = skew(un_gyr)
+    Ra0 = skew(acc_0 - ba)
+    Ra1 = skew(acc_1 - ba)
+    I3 = jnp.eye(3, dtype=dtype)
+    dt2 = dt * dt
+
+    F = jnp.zeros((15, 15), dtype=dtype)
+    F = F.at[0:3, 0:3].set(I3)
+    F = F.at[0:3, 3:6].set(
+        -0.25 * R0 @ Ra0 * dt2 - 0.25 * R1 @ Ra1 @ (I3 - Rw * dt) * dt2
+    )
+    F = F.at[0:3, 6:9].set(I3 * dt)
+    F = F.at[0:3, 9:12].set(-0.25 * (R0 + R1) * dt2)
+    F = F.at[0:3, 12:15].set(0.25 * R1 @ Ra1 * dt2 * dt)
+    F = F.at[3:6, 3:6].set(I3 - Rw * dt)
+    F = F.at[3:6, 12:15].set(-I3 * dt)
+    F = F.at[6:9, 3:6].set(
+        -0.5 * R0 @ Ra0 * dt - 0.5 * R1 @ Ra1 @ (I3 - Rw * dt) * dt
+    )
+    F = F.at[6:9, 6:9].set(I3)
+    F = F.at[6:9, 9:12].set(-0.5 * (R0 + R1) * dt)
+    F = F.at[6:9, 12:15].set(0.5 * R1 @ Ra1 * dt * dt)
+    F = F.at[9:12, 9:12].set(I3)
+    F = F.at[12:15, 12:15].set(I3)
+
+    V = jnp.zeros((15, 18), dtype=dtype)
+    v03 = -0.125 * R1 @ Ra1 * dt2 * dt  # 0.25 * (-R1 Ra1) dt^2 * 0.5 dt
+    V = V.at[0:3, 0:3].set(0.25 * R0 * dt2)
+    V = V.at[0:3, 3:6].set(v03)
+    V = V.at[0:3, 6:9].set(0.25 * R1 * dt2)
+    V = V.at[0:3, 9:12].set(v03)
+    V = V.at[3:6, 3:6].set(0.5 * I3 * dt)
+    V = V.at[3:6, 9:12].set(0.5 * I3 * dt)
+    v63 = -0.25 * R1 @ Ra1 * dt * dt
+    V = V.at[6:9, 0:3].set(0.5 * R0 * dt)
+    V = V.at[6:9, 3:6].set(v63)
+    V = V.at[6:9, 6:9].set(0.5 * R1 * dt)
+    V = V.at[6:9, 9:12].set(v63)
+    V = V.at[9:12, 12:15].set(I3 * dt)
+    V = V.at[12:15, 15:18].set(I3 * dt)
+
+    jac_new = F @ jac
+    cov_new = F @ cov @ F.T + V @ noise_mat @ V.T
+
+    carry_new = (
+        dp_new,
+        quat_normalize(dq_new),
+        dv_new,
+        jac_new,
+        cov_new,
+        sum_dt + dt,
+        acc_1,
+        gyr_1,
+        ba,
+        bg,
+    )
+    return carry_new, None
+
+
+def preintegrate(dts, accs, gyrs, acc0, gyr0, ba, bg, noise: ImuNoise):
+    """Integrate a (padded) buffer of IMU samples into a Preintegration.
+
+    Args:
+      dts: [N] sample spacings; pad unused tail with 0 (exact no-op).
+      accs, gyrs: [N, 3] samples at the *end* of each dt.
+      acc0, gyr0: [3] sample at the interval start (linearized_acc/gyr).
+      ba, bg: [3] linearization biases.
+    """
+    dtype = accs.dtype
+    init = (
+        jnp.zeros(3, dtype),
+        quat_identity(dtype),
+        jnp.zeros(3, dtype),
+        jnp.eye(15, dtype=dtype),
+        jnp.zeros((15, 15), dtype=dtype),
+        jnp.zeros((), dtype),
+        acc0,
+        gyr0,
+        ba,
+        bg,
+    )
+    noise_mat = noise.noise_matrix(dtype)
+    step = lambda c, x: _midpoint_step(c, x, noise_mat)
+    (dp, dq, dv, jac, cov, sum_dt, *_), _ = jax.lax.scan(
+        step, init, (dts, accs, gyrs)
+    )
+    return Preintegration(dp, dq, dv, jac, cov, sum_dt, ba, bg)
+
+
+def bias_corrected_delta(pre: Preintegration, ba_new, bg_new):
+    """First-order-corrected (Δp, Δq, Δv) at updated biases
+    (integration_base.h:160-175)."""
+    dba = ba_new - pre.linearized_ba
+    dbg = bg_new - pre.linearized_bg
+    dp = (
+        pre.delta_p
+        + pre.jacobian[O_P : O_P + 3, O_BA : O_BA + 3] @ dba
+        + pre.jacobian[O_P : O_P + 3, O_BG : O_BG + 3] @ dbg
+    )
+    dv = (
+        pre.delta_v
+        + pre.jacobian[O_V : O_V + 3, O_BA : O_BA + 3] @ dba
+        + pre.jacobian[O_V : O_V + 3, O_BG : O_BG + 3] @ dbg
+    )
+    dq = quat_mul(
+        pre.delta_q,
+        quat_from_small_angle(pre.jacobian[O_R : O_R + 3, O_BG : O_BG + 3] @ dbg),
+    )
+    return dp, quat_normalize(dq), dv
+
+
+def imu_residual(pre: Preintegration, p_i, q_i, v_i, ba_i, bg_i, p_j, q_j, v_j, ba_j, bg_j, gravity):
+    """15-dim preintegration residual (integration_base.h:160-186).
+
+    gravity is the world gravity vector (typically [0, 0, 9.81])."""
+    dp, dq, dv = bias_corrected_delta(pre, ba_i, bg_i)
+    qi_inv = quat_conj(q_i)
+    r_p = (
+        quat_rotate(qi_inv, 0.5 * gravity * pre.sum_dt**2 + p_j - p_i - v_i * pre.sum_dt)
+        - dp
+    )
+    r_q = 2.0 * quat_mul(quat_conj(dq), quat_mul(qi_inv, q_j))[..., 1:4]
+    r_v = quat_rotate(qi_inv, gravity * pre.sum_dt + v_j - v_i) - dv
+    return jnp.concatenate([r_p, r_q, r_v, ba_j - ba_i, bg_j - bg_i], axis=-1)
+
+
+def propagate_state_midpoint(p, q, v, acc_0, gyr_0, acc_1, gyr_1, dt, ba, bg, gravity):
+    """World-frame midpoint propagation of (p, q, v) through one IMU sample —
+    the high-rate prediction path and window-state update
+    (estimator.cpp:109-116, estimator_node.cpp:41-77)."""
+    un_acc_0 = quat_rotate(q, acc_0 - ba) - gravity
+    un_gyr = 0.5 * (gyr_0 + gyr_1) - bg
+    q_new = quat_normalize(quat_mul(q, quat_from_small_angle(un_gyr * dt)))
+    un_acc_1 = quat_rotate(q_new, acc_1 - ba) - gravity
+    un_acc = 0.5 * (un_acc_0 + un_acc_1)
+    p_new = p + dt * v + 0.5 * dt * dt * un_acc
+    v_new = v + dt * un_acc
+    return p_new, q_new, v_new

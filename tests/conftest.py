@@ -4,9 +4,6 @@ layer is testable without TPU hardware (SURVEY.md §4e)."""
 
 import os
 
-# The shell pre-sets JAX_PLATFORMS=axon (TPU tunnel); tests must run on the
-# host CPU mesh, so override unless the user explicitly asks otherwise.
-os.environ["JAX_PLATFORMS"] = os.environ.get("LFVIO_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +12,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The shell pre-sets JAX_PLATFORMS=axon (TPU tunnel), and the env var alone
+# does not reliably override the plugin — use the config API.
+jax.config.update("jax_platforms", os.environ.get("LFVIO_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", True)

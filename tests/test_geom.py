@@ -46,7 +46,11 @@ def test_mat_to_quat_roundtrip():
 
 def test_exp_log_roundtrip():
     rng = np.random.default_rng(3)
-    theta = jnp.asarray(rng.standard_normal((32, 3)) * 1.5)
+    theta = rng.standard_normal((32, 3))
+    theta = jnp.asarray(
+        theta / np.linalg.norm(theta, axis=-1, keepdims=True)
+        * rng.uniform(1e-3, np.pi - 1e-3, size=(32, 1))
+    )  # keep |theta| < pi so log is the exact inverse
     np.testing.assert_allclose(geom.so3_log(geom.so3_exp(theta)), theta, atol=1e-10)
     tiny = jnp.asarray(rng.standard_normal((8, 3)) * 1e-10)
     np.testing.assert_allclose(geom.so3_log(geom.so3_exp(tiny)), tiny, atol=1e-15)

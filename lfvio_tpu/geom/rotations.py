@@ -165,24 +165,34 @@ def quat_box_minus(q, q0):
 
 
 def so3_exp(theta):
-    """Exact SO(3) exponential map: axis-angle [...,3] -> quaternion wxyz."""
-    angle = jnp.linalg.norm(theta, axis=-1, keepdims=True)
-    half = 0.5 * angle
-    # Taylor-safe sinc(half)/2
-    small = angle < 1e-8
-    k = jnp.where(small, 0.5 + angle * 0.0, jnp.sin(half) / jnp.where(small, 1.0, angle))
-    w = jnp.cos(half)
+    """Exact SO(3) exponential map: axis-angle [...,3] -> quaternion wxyz.
+
+    Autodiff-safe at theta=0: the norm is guarded *inside* the branch (the
+    double-where pattern) and the small branch uses the Taylor series, so
+    forward/reverse derivatives are exact at the origin — the solver
+    linearizes through this at delta=0 every iteration.
+    """
+    sq = jnp.sum(theta * theta, axis=-1, keepdims=True)
+    small = sq < 1e-16
+    safe_sq = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(safe_sq)
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(0.5 * angle) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(0.5 * angle))
     return jnp.concatenate([w, k * theta], axis=-1)
 
 
 def so3_log(q):
-    """SO(3) log map: unit quaternion wxyz -> axis-angle [...,3]."""
+    """SO(3) log map: unit quaternion wxyz -> axis-angle [...,3].
+
+    Autodiff-safe at the identity (same guard pattern as so3_exp)."""
     q = quat_positify(q)
     w = jnp.clip(q[..., 0:1], -1.0, 1.0)
-    vnorm = jnp.linalg.norm(q[..., 1:4], axis=-1, keepdims=True)
+    sq = jnp.sum(q[..., 1:4] * q[..., 1:4], axis=-1, keepdims=True)
+    small = sq < 1e-16
+    vnorm = jnp.sqrt(jnp.where(small, 1.0, sq))
     angle = 2.0 * jnp.arctan2(vnorm, w)
-    small = vnorm < 1e-8
-    scale = jnp.where(small, 2.0 + vnorm * 0.0, angle / jnp.where(small, 1.0, vnorm))
+    # Near identity: angle/vnorm -> 2/w - 2*vnorm^2/(3 w^3) ~ 2 + O(sq).
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-6), angle / vnorm)
     return scale * q[..., 1:4]
 
 

@@ -58,13 +58,24 @@ def _bilinear_from_patch(patch, offset, out_size):
     )
 
 
+PAD = HALF + SEARCH_MARGIN + 4  # edge-replication pad so windows never clip
+
+
 def _track_level(img_prev, img_next, pos_prev_l, guess, valid):
     """One pyramid level of LK for all features.
 
     pos_prev_l: [N, 2] (x, y) feature positions in this level's coordinates.
     guess: [N, 2] current flow estimate at this level's scale.
     Returns (new_guess [N,2], ok [N]).
+
+    Both level images are edge-padded by PAD so the 41-px window (huge
+    relative to coarse levels) never clips — the same effect as OpenCV's
+    border handling in calcOpticalFlowPyrLK.
     """
+    H0, W0 = img_prev.shape
+    img_prev = jnp.pad(img_prev, PAD, mode="edge")
+    img_next = jnp.pad(img_next, PAD, mode="edge")
+    pos_prev_l = pos_prev_l + PAD
     H, W = img_prev.shape
     dtype = img_prev.dtype
 
@@ -132,10 +143,15 @@ def _track_level(img_prev, img_next, pos_prev_l, guess, valid):
 
         g_fin, _ = jax.lax.fori_loop(0, N_ITERS, body, (g, good_G & ok))
 
-        # Border / window validity of the final position at this level.
+        # Border validity of the final position in REAL image coordinates.
         fx = pos[0] + g_fin[0]
         fy = pos[1] + g_fin[1]
-        inb = (fx >= 1.0) & (fx < W - 1.0) & (fy >= 1.0) & (fy < H - 1.0)
+        inb = (
+            (fx >= PAD + 1.0)
+            & (fx < PAD + W0 - 1.0)
+            & (fy >= PAD + 1.0)
+            & (fy < PAD + H0 - 1.0)
+        )
         # Also require the sample window stayed inside the cached patch.
         off_ok = (
             (fy - tl_s[0] - HALF >= 0.0)
@@ -159,10 +175,11 @@ def pyramidal_lk(pyr_prev, pyr_next, pts_prev, valid, n_levels: int = 3):
     g = jnp.zeros((N, 2), dtype)
     ok = valid
     for l in range(n_levels, -1, -1):
-        scale = 2.0**l
-        pos_l = pts_prev / scale
-        g, ok_l = _track_level(pyr_prev[l], pyr_next[l], pos_l, g, ok)
-        ok = ok & ok_l
+        if min(pyr_prev[l].shape) >= 8:  # skip degenerate tiny levels
+            scale = 2.0**l
+            pos_l = pts_prev / scale
+            g, ok_l = _track_level(pyr_prev[l], pyr_next[l], pos_l, g, ok)
+            ok = ok & ok_l
         if l > 0:
             g = g * 2.0
     pts_next = pts_prev + g

@@ -1,0 +1,176 @@
+"""Multi-chip distributed bundle adjustment via jax.sharding + shard_map.
+
+The reference has no distributed runtime (SURVEY.md §2.5); this layer is the
+TPU-native scaling design mandated by the north star: shard the *feature
+slots* (landmarks + their observation grid) across chips. Each device:
+
+  1. linearizes its feature shard (projection residuals + Jacobians),
+  2. assembles local partial normal equations,
+  3. `psum`s the tiny pose-block system (H_pp [172², ~118 KB] + b_p) over the
+     ICI ring — the only communication per LM iteration,
+  4. solves the reduced 172×172 system redundantly (cheaper than sharding a
+     matrix this small), and back-substitutes its local inverse depths.
+
+IMU factors and the marginalization prior involve only pose blocks and are
+evaluated on one logical copy (device 0's contribution) to avoid double
+counting. The LM accept/reject loop runs in SPMD lockstep — every device
+sees identical psum'd costs, so control flow never diverges.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..backend.state import WindowState, FeatureGrid, PriorFactor, SolverConfig
+from ..backend.solver import (
+    assemble_normal_equations,
+    _schur_solve,
+    apply_delta,
+    total_cost,
+)
+
+
+def make_feature_mesh(devices=None, axis: str = "f"):
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_grid(grid: FeatureGrid, mesh: Mesh, axis: str = "f"):
+    """Place the observation grid with features sharded over the mesh."""
+    spec = jax.sharding.NamedSharding(mesh, P(axis))
+    return FeatureGrid(
+        bearing=jax.device_put(grid.bearing, spec),
+        velocity=jax.device_put(grid.velocity, spec),
+        td_obs=jax.device_put(grid.td_obs, spec),
+        valid=jax.device_put(grid.valid, spec),
+        anchor=jax.device_put(grid.anchor, spec),
+        used=jax.device_put(grid.used, spec),
+    )
+
+
+def lm_solve_sharded(
+    mesh: Mesh,
+    state: WindowState,
+    grid: FeatureGrid,
+    pre,
+    sqrt_info_imu,
+    imu_valid,
+    prior: PriorFactor,
+    gravity,
+    cfg: SolverConfig,
+    axis: str = "f",
+):
+    """Feature-sharded LM solve. Identical math to backend.solver.lm_solve —
+    validated against it in tests on a CPU device mesh.
+
+    state/pre/prior are replicated; grid (and state.inv_depth) sharded on
+    the feature axis.
+    """
+    n_dev = mesh.shape[axis]
+
+    state_specs = WindowState(
+        p=P(), q=P(), v=P(), ba=P(), bg=P(), tic=P(), qic=P(), td=P(),
+        inv_depth=P(axis),
+    )
+    grid_specs = FeatureGrid(
+        bearing=P(axis), velocity=P(axis), td_obs=P(axis),
+        valid=P(axis), anchor=P(axis), used=P(axis),
+    )
+    prior_specs = jax.tree_util.tree_map(lambda _: P(), prior)
+
+    def local_normal_eqs(s, g, pre_, si_, iv_, pr_):
+        """Per-shard normal equations; pose part psum'd across shards."""
+        is_first = jax.lax.axis_index(axis) == 0
+        # Feature/projection part: local shard only. IMU+prior: only on the
+        # first shard (masked elsewhere) to avoid double counting in psum.
+        iv_local = iv_ & is_first
+        pr_local = jax.tree_util.tree_map(lambda x: x, pr_)
+        pr_local = PriorFactor(
+            J=jnp.where(is_first, pr_.J, jnp.zeros_like(pr_.J)),
+            r0=pr_.r0, x0_p=pr_.x0_p, x0_q=pr_.x0_q, x0_v=pr_.x0_v,
+            x0_ba=pr_.x0_ba, x0_bg=pr_.x0_bg, x0_tic=pr_.x0_tic,
+            x0_qic=pr_.x0_qic, x0_td=pr_.x0_td,
+            valid=pr_.valid & is_first,
+        )
+        H_pp, H_pl, H_ll, b_p, b_l, cost = assemble_normal_equations(
+            s, g, pre_, si_, iv_local, pr_local, gravity, cfg
+        )
+        H_pp = jax.lax.psum(H_pp, axis)
+        b_p = jax.lax.psum(b_p, axis)
+        cost = jax.lax.psum(cost, axis)
+        return H_pp, H_pl, H_ll, b_p, b_l, cost
+
+    def local_cost(s, g, pre_, si_, iv_, pr_):
+        is_first = jax.lax.axis_index(axis) == 0
+        iv_local = iv_ & is_first
+        pr_local = PriorFactor(
+            J=pr_.J, r0=pr_.r0, x0_p=pr_.x0_p, x0_q=pr_.x0_q, x0_v=pr_.x0_v,
+            x0_ba=pr_.x0_ba, x0_bg=pr_.x0_bg, x0_tic=pr_.x0_tic,
+            x0_qic=pr_.x0_qic, x0_td=pr_.x0_td, valid=pr_.valid & is_first,
+        )
+        return jax.lax.psum(
+            total_cost(s, g, pre_, si_, iv_local, pr_local, gravity, cfg), axis
+        )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, grid_specs, jax.tree_util.tree_map(lambda _: P(), pre),
+                  P(), P(), prior_specs),
+        out_specs=(state_specs, P(), P()),
+        check_rep=False,
+    )
+    def solve(s, g, pre_, si_, iv_, pr_):
+        dtype = s.p.dtype
+
+        def step(carry, _):
+            sc, lam, cost = carry
+            H_pp, H_pl, H_ll, b_p, b_l, _ = local_normal_eqs(
+                sc, g, pre_, si_, iv_, pr_
+            )
+            # Schur contribution of the local depth shard must be psum'd.
+            used_ok = g.used & (H_ll > 1e-12)
+            H_ll_safe = jnp.where(used_ok, H_ll, 1.0)
+            b_l_safe = jnp.where(used_ok, b_l, 0.0)
+            H_pl_safe = jnp.where(used_ok[None, :], H_pl, 0.0)
+            inv_Hll = 1.0 / (H_ll_safe * (1.0 + lam))
+            S_local = (H_pl_safe * inv_Hll[None, :]) @ H_pl_safe.T
+            c_local = H_pl_safe @ (inv_Hll * b_l_safe)
+            S = jax.lax.psum(S_local, axis)
+            c = jax.lax.psum(c_local, axis)
+            H_red = H_pp - S
+            b_red = b_p - c
+            diag = jnp.clip(jnp.diag(H_pp), 1e-6, 1e32)
+            D = H_pp.shape[0]
+            L = jnp.linalg.cholesky(
+                H_red + lam * jnp.diag(diag) + 1e-10 * jnp.eye(D, dtype=dtype)
+            )
+            dx = -jax.scipy.linalg.cho_solve((L, True), b_red)
+            dlam = -inv_Hll * (b_l_safe + H_pl_safe.T @ dx)
+
+            s_new = apply_delta(sc, dx, dlam, cfg)
+            new_cost = local_cost(s_new, g, pre_, si_, iv_, pr_)
+            accept = new_cost < cost
+            s_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), s_new, sc
+            )
+            lam_next = jnp.clip(
+                jnp.where(accept, lam * 0.4, lam * 8.0), 1e-9, 1e6
+            )
+            return (s_next, lam_next, jnp.where(accept, new_cost, cost)), None
+
+        c0 = local_cost(s, g, pre_, si_, iv_, pr_)
+        (s_out, _, c1), _ = jax.lax.scan(
+            step, (s, jnp.asarray(cfg.init_lambda, dtype), c0), None,
+            length=cfg.max_iterations,
+        )
+        return s_out, c0, c1
+
+    return solve(state, grid, pre, sqrt_info_imu, imu_valid, prior)

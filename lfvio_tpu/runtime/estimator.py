@@ -1,0 +1,660 @@
+"""Sliding-window VIO estimator driver.
+
+Host orchestration equivalent of the reference Estimator
+(/root/reference/vins_estimator/src/estimator.cpp): INITIAL → NON_LINEAR
+state machine, measurement handling, initialization, per-frame solve,
+failure detection, marginalization, and window sliding.
+
+Division of labor (TPU-first):
+  * Device (jit, solver dtype): preintegration of all window intervals,
+    triangulation, the 8-iteration LM bundle adjustment.
+  * Host CPU (f64): policy (keyframe flag, init decisions, failure reset),
+    feature bookkeeping, the yaw-gauge fix, and the marginalization
+    eigendecompositions (small, precision-critical — run as a jitted f64
+    CPU computation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geom
+from ..imu import ImuNoise, preintegrate
+from ..backend import (
+    WindowState,
+    FeatureGrid,
+    PriorFactor,
+    SolverConfig,
+    lm_solve,
+)
+from ..backend.state import WINDOW, NFRAMES, pose_dim
+from ..backend.triangulate import triangulate_grid
+from ..backend.marginalize import marginalize_old, marginalize_second_new
+from ..vinit import solve_relative_rt, global_sfm, visual_imu_alignment
+from ..vinit.alignment import AlignFrame
+from .feature_manager import HostFeatureManager
+
+
+@dataclasses.dataclass
+class EstimatorConfig:
+    n_feature_slots: int = 256
+    max_imu_per_interval: int = 256
+    min_parallax: float = 10.0 / 160.0  # keyframe_parallax / FOCAL_LENGTH
+    imu_noise: ImuNoise = dataclasses.field(
+        default_factory=lambda: ImuNoise(0.02, 0.01, 0.04, 0.001)
+    )
+    g_norm: float = 9.81
+    estimate_td: bool = False
+    estimate_extrinsic: bool = False
+    td0: float = 0.0
+    tic: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    ric: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(3))
+    max_iterations: int = 8
+    solver_dtype: object = jnp.float32
+    solve_device: str | None = None  # None = default backend
+
+
+class Estimator:
+    INITIAL, NON_LINEAR = 0, 1
+
+    def __init__(self, cfg: EstimatorConfig):
+        self.cfg = cfg
+        self.scfg = SolverConfig(
+            max_iterations=cfg.max_iterations,
+            estimate_td=cfg.estimate_td,
+            estimate_extrinsic=cfg.estimate_extrinsic,
+        )
+        self.clear_state()
+
+        dt = cfg.solver_dtype
+        self.gravity = None  # set after init (g in world frame = [0,0,g_norm])
+
+        # Jitted device functions.
+        self._preint_batch = jax.jit(jax.vmap(
+            lambda dts, accs, gyrs, a0, g0, ba, bg: preintegrate(
+                dts, accs, gyrs, a0, g0, ba, bg, cfg.imu_noise
+            )
+        ))
+        self._solve = jax.jit(self._solve_impl)
+        cpu = jax.devices("cpu")[0]
+        self._marg_old = jax.jit(
+            partial(marginalize_old, cfg=self.scfg), device=cpu
+        )
+        self._marg_new = jax.jit(
+            partial(marginalize_second_new, cfg=self.scfg), device=cpu
+        )
+
+    # ------------------------------------------------------------------ state
+    def clear_state(self):
+        cfg = self.cfg
+        W1 = NFRAMES
+        self.Ps = np.zeros((W1, 3))
+        self.Qs = np.tile(np.array([1.0, 0, 0, 0]), (W1, 1))
+        self.Vs = np.zeros((W1, 3))
+        self.Bas = np.zeros((W1, 3))
+        self.Bgs = np.zeros((W1, 3))
+        self.tic = np.asarray(cfg.tic, np.float64).copy()
+        self.qic = np.asarray(
+            geom.mat_to_quat(jnp.asarray(np.asarray(cfg.ric, np.float64)))
+        )
+        self.td = cfg.td0
+        self.frame_count = 0
+        self.solver_flag = self.INITIAL
+        self.first_imu = False
+        self.acc_0 = np.zeros(3)
+        self.gyr_0 = np.zeros(3)
+        # Per window interval IMU buffers: list of (dt, acc, gyr) lists.
+        self.imu_buf = [[] for _ in range(W1)]
+        self.tmp_imu_buf = []  # since last frame (for all_image_frame)
+        self.fm = HostFeatureManager(cfg.n_feature_slots, W1)
+        self.all_frames = []  # list of dicts (t, feats, imu, R, T, is_key)
+        self.prior = None
+        self.headers = np.zeros(W1)
+        self.times = []
+        self.traj_p = []
+        self.traj_q = []
+        self.failure_occur = False
+        self.last_P = np.zeros(3)
+        self.last_R = np.eye(3)
+        self.last_P0 = np.zeros(3)
+        self.last_R0 = np.eye(3)
+        self.initial_timestamp = -1e18
+
+    # ------------------------------------------------------------------- IMU
+    def process_imu(self, dt, acc, gyr):
+        """Estimator::processIMU (estimator.cpp:86-120): buffer + midpoint
+        state propagation of the newest window frame."""
+        acc = np.asarray(acc, np.float64)
+        gyr = np.asarray(gyr, np.float64)
+        if not self.first_imu:
+            self.first_imu = True
+            self.acc_0, self.gyr_0 = acc, gyr
+        j = self.frame_count
+        if j != 0:
+            self.imu_buf[j].append((dt, acc.copy(), gyr.copy()))
+            self.tmp_imu_buf.append((dt, acc.copy(), gyr.copy()))
+            if self.gravity is not None or True:
+                g = np.array([0.0, 0.0, self.cfg.g_norm])
+                R = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[j])))
+                un_acc_0 = R @ (self.acc_0 - self.Bas[j]) - g
+                un_gyr = 0.5 * (self.gyr_0 + gyr) - self.Bgs[j]
+                dq = np.asarray(geom.so3_exp(jnp.asarray(un_gyr * dt)))
+                q_new = np.asarray(
+                    geom.quat_mul(jnp.asarray(self.Qs[j]), jnp.asarray(dq))
+                )
+                q_new = q_new / np.linalg.norm(q_new)
+                R_new = np.asarray(geom.quat_to_mat(jnp.asarray(q_new)))
+                un_acc_1 = R_new @ (acc - self.Bas[j]) - g
+                un_acc = 0.5 * (un_acc_0 + un_acc_1)
+                self.Ps[j] += dt * self.Vs[j] + 0.5 * dt * dt * un_acc
+                self.Vs[j] += dt * un_acc
+                self.Qs[j] = q_new
+        self.acc_0, self.gyr_0 = acc, gyr
+
+    # ------------------------------------------------------------- device fns
+    def _solve_impl(self, state, grid, pre, sqrt_info, imu_valid, prior, has_depth):
+        gravity = jnp.asarray(
+            [0.0, 0.0, self.cfg.g_norm], self.cfg.solver_dtype
+        )
+        inv_d = triangulate_grid(state, grid, has_depth)
+        state = dataclasses.replace(state, inv_depth=inv_d)
+        out, c0, c1, hist = lm_solve(
+            state, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg
+        )
+        return out, c0, c1
+
+    # ----------------------------------------------------------- preint build
+    def _padded_interval(self, buf, ba, bg):
+        """Pad one interval's samples to max_imu_per_interval."""
+        M = self.cfg.max_imu_per_interval
+        n = min(len(buf), M)
+        dts = np.zeros(M)
+        accs = np.zeros((M, 3))
+        gyrs = np.zeros((M, 3))
+        if n > 0:
+            dts[:n] = [b[0] for b in buf[:n]]
+            accs[:n] = [b[1] for b in buf[:n]]
+            gyrs[:n] = [b[2] for b in buf[:n]]
+            a0, g0 = buf[0][1], buf[0][2]  # first sample approximates start
+        else:
+            a0, g0 = np.zeros(3), np.zeros(3)
+        return dts, accs, gyrs, a0, g0, ba, bg
+
+    def _interval_start_sample(self, i):
+        """Sample at the interval start = last sample of previous interval
+        (the reference seeds IntegrationBase with acc_0/gyr_0 carried over)."""
+        for k in range(i - 1, 0, -1):
+            if self.imu_buf[k]:
+                return self.imu_buf[k][-1][1], self.imu_buf[k][-1][2]
+        return None
+
+    def _build_window_preint(self):
+        W1 = NFRAMES
+        dt_list, acc_list, gyr_list, a0l, g0l, bal, bgl, valid = (
+            [], [], [], [], [], [], [], []
+        )
+        for i in range(1, W1):
+            buf = self.imu_buf[i]
+            dts, accs, gyrs, a0, g0, _, _ = self._padded_interval(
+                buf, self.Bas[i - 1], self.Bgs[i - 1]
+            )
+            start = self._interval_start_sample(i)
+            if start is not None:
+                a0, g0 = start
+            dt_list.append(dts)
+            acc_list.append(accs)
+            gyr_list.append(gyrs)
+            a0l.append(a0)
+            g0l.append(g0)
+            bal.append(self.Bas[i - 1])
+            bgl.append(self.Bgs[i - 1])
+            sum_dt = sum(b[0] for b in buf)
+            valid.append(len(buf) > 0 and sum_dt < 10.0)
+        sd = self.cfg.solver_dtype
+        pre = self._preint_batch(
+            jnp.asarray(np.stack(dt_list), sd),
+            jnp.asarray(np.stack(acc_list), sd),
+            jnp.asarray(np.stack(gyr_list), sd),
+            jnp.asarray(np.stack(a0l), sd),
+            jnp.asarray(np.stack(g0l), sd),
+            jnp.asarray(np.stack(bal), sd),
+            jnp.asarray(np.stack(bgl), sd),
+        )
+        # Whitening on host in f64 (precision-critical tiny matrices).
+        covs = np.asarray(pre.covariance, np.float64)
+        sqrt_infos = np.zeros_like(covs)
+        for i in range(covs.shape[0]):
+            if valid[i]:
+                try:
+                    sqrt_infos[i] = np.linalg.cholesky(
+                        np.linalg.inv(covs[i])
+                    ).T
+                except np.linalg.LinAlgError:
+                    valid[i] = False
+        return pre, jnp.asarray(sqrt_infos, sd), jnp.asarray(np.asarray(valid))
+
+    # ---------------------------------------------------------------- helpers
+    def _device_state(self, dtype=None):
+        sd = dtype or self.cfg.solver_dtype
+        inv_depth = np.where(
+            self.fm.depth > 0, 1.0 / np.maximum(self.fm.depth, 1e-6), 1.0
+        )
+        return WindowState(
+            p=jnp.asarray(self.Ps, sd),
+            q=jnp.asarray(self.Qs, sd),
+            v=jnp.asarray(self.Vs, sd),
+            ba=jnp.asarray(self.Bas, sd),
+            bg=jnp.asarray(self.Bgs, sd),
+            tic=jnp.asarray(self.tic, sd),
+            qic=jnp.asarray(self.qic, sd),
+            td=jnp.asarray(self.td, sd),
+            inv_depth=jnp.asarray(inv_depth, sd),
+        )
+
+    def _device_grid(self, dtype=None):
+        sd = dtype or self.cfg.solver_dtype
+        b, v, tdo, val, anc, used = self.fm.device_grid_arrays()
+        return FeatureGrid(
+            bearing=jnp.asarray(b, sd),
+            velocity=jnp.asarray(v, sd),
+            td_obs=jnp.asarray(tdo, sd),
+            valid=jnp.asarray(val),
+            anchor=jnp.asarray(anc),
+            used=jnp.asarray(used),
+        )
+
+    def _empty_prior(self, dtype=None):
+        return PriorFactor.empty(dtype=dtype or self.cfg.solver_dtype)
+
+    # ------------------------------------------------------------------ frame
+    def process_image(self, feats: dict, t: float):
+        """Estimator::processImage (estimator.cpp:122-220).
+
+        feats: id -> (bearing3, vel3, row) from FrontEnd.process.
+        """
+        cfg = self.cfg
+        # td_obs per observation: current td estimate (no rolling shutter yet).
+        feats_fm = {
+            fid: (np.asarray(b), np.asarray(v), self.td)
+            for fid, (b, v, _row) in feats.items()
+        }
+        is_keyframe = self.fm.add_frame(self.frame_count, feats_fm, cfg.min_parallax)
+        self.marg_old = is_keyframe  # True -> MARGIN_OLD
+
+        self.headers[self.frame_count] = t
+        self.all_frames.append(
+            dict(t=t, feats={f: v[0] for f, v in feats_fm.items()},
+                 imu=list(self.tmp_imu_buf), is_key=False,
+                 imu_start=(self.tmp_start[0].copy(), self.tmp_start[1].copy())
+                 if getattr(self, "tmp_start", None) is not None
+                 else None)
+        )
+        self.tmp_imu_buf = []
+        self.tmp_start = (self.acc_0.copy(), self.gyr_0.copy())
+
+        if self.solver_flag == self.INITIAL:
+            if self.frame_count == WINDOW:
+                ok = False
+                if t - self.initial_timestamp > 0.1:
+                    ok = self._initial_structure()
+                    self.initial_timestamp = t
+                if ok:
+                    self.solver_flag = self.NON_LINEAR
+                    self._solve_odometry()
+                    self._slide_window()
+                    self._record_output(t)
+                    self.last_R = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[WINDOW])))
+                    self.last_P = self.Ps[WINDOW].copy()
+                else:
+                    self._slide_window()
+            else:
+                self.frame_count += 1
+                # New frame starts where the previous one is.
+                j = self.frame_count
+                self.Ps[j] = self.Ps[j - 1]
+                self.Qs[j] = self.Qs[j - 1]
+                self.Vs[j] = self.Vs[j - 1]
+                self.Bas[j] = self.Bas[j - 1]
+                self.Bgs[j] = self.Bgs[j - 1]
+        else:
+            self._solve_odometry()
+            if self._failure_detection():
+                self.failure_occur = True
+                self.clear_state()
+                return
+            self._slide_window()
+            self.fm.remove_failures()
+            self._record_output(t)
+            self.last_R = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[WINDOW])))
+            self.last_P = self.Ps[WINDOW].copy()
+            self.last_R0 = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[0])))
+            self.last_P0 = self.Ps[0].copy()
+
+    def _record_output(self, t):
+        self.times.append(t)
+        self.traj_p.append(self.Ps[WINDOW].copy())
+        self.traj_q.append(self.Qs[WINDOW].copy())
+
+    # ----------------------------------------------------------------- solve
+    def _solve_odometry(self):
+        if self.frame_count < WINDOW:
+            return
+        pre, sqrt_info, imu_valid = self._build_window_preint()
+        state = self._device_state()
+        grid = self._device_grid()
+        prior = self.prior if self.prior is not None else self._empty_prior()
+        sd = self.cfg.solver_dtype
+        prior = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, sd)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+            else jnp.asarray(x),
+            prior,
+        )
+        has_depth = jnp.asarray(self.fm.depth > 0)
+        out, c0, c1 = self._solve(
+            state, grid, pre, sqrt_info, imu_valid, prior, has_depth
+        )
+        self._write_back(out)
+        # Marginalization for the upcoming slide.
+        self._marginalize(pre, sqrt_info, imu_valid)
+
+    def _write_back(self, out: WindowState):
+        """double2vector (estimator.cpp:532-626): re-anchor yaw & position of
+        frame 0 to their pre-solve values (4-DoF gauge fix), then copy."""
+        origin_R0 = np.asarray(
+            geom.R_to_ypr_deg(geom.quat_to_mat(jnp.asarray(self.Qs[0])))
+        )
+        origin_P0 = self.Ps[0].copy()
+        if self.failure_occur:
+            origin_R0 = np.asarray(
+                geom.R_to_ypr_deg(jnp.asarray(self.last_R0))
+            )
+            origin_P0 = self.last_P0.copy()
+            self.failure_occur = False
+
+        q_new = np.asarray(out.q, np.float64)
+        p_new = np.asarray(out.p, np.float64)
+        R00 = np.asarray(geom.quat_to_mat(jnp.asarray(q_new[0])))
+        new_ypr0 = np.asarray(geom.R_to_ypr_deg(jnp.asarray(R00)))
+        y_diff = origin_R0[0] - new_ypr0[0]
+        rot_diff = np.asarray(
+            geom.ypr_deg_to_R(jnp.asarray([y_diff, 0.0, 0.0]))
+        )
+        if abs(abs(origin_R0[1]) - 90) < 1.0 or abs(abs(new_ypr0[1]) - 90) < 1.0:
+            # Euler singularity: full rotation re-anchor.
+            R0_old = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[0])))
+            rot_diff = R0_old @ R00.T
+
+        v_new = np.asarray(out.v, np.float64)
+        for i in range(NFRAMES):
+            Ri = np.asarray(geom.quat_to_mat(jnp.asarray(q_new[i])))
+            Rfix = rot_diff @ Ri
+            self.Qs[i] = np.asarray(geom.mat_to_quat(jnp.asarray(Rfix)))
+            self.Ps[i] = rot_diff @ (p_new[i] - p_new[0]) + origin_P0
+            self.Vs[i] = rot_diff @ v_new[i]
+        self.Bas = np.asarray(out.ba, np.float64).copy()
+        self.Bgs = np.asarray(out.bg, np.float64).copy()
+        if self.cfg.estimate_extrinsic:
+            self.tic = np.asarray(out.tic, np.float64).copy()
+            self.qic = np.asarray(out.qic, np.float64).copy()
+        if self.cfg.estimate_td:
+            self.td = float(out.td)
+        # Depths.
+        inv_d = np.asarray(out.inv_depth, np.float64)
+        used = np.asarray(self.fm.used_mask())
+        self.fm.mark_solved_depths(inv_d, used)
+
+    def _marginalize(self, pre, sqrt_info, imu_valid):
+        """Build the new prior (estimator.cpp:832-1005) on CPU in f64."""
+        f64 = jnp.float64
+        state = self._device_state(f64)
+        prior = (
+            self.prior
+            if self.prior is not None
+            else self._empty_prior(f64)
+        )
+        prior = jax.tree_util.tree_map(lambda x: jnp.asarray(x, f64)
+                                       if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, prior)
+        if self.marg_old:
+            grid = self._device_grid(f64)
+            pre64 = jax.tree_util.tree_map(lambda x: jnp.asarray(x, f64), pre)
+            new_prior = self._marg_old(
+                state, grid, pre64,
+                jnp.asarray(np.asarray(sqrt_info), f64), imu_valid, prior,
+                jnp.asarray([0.0, 0.0, self.cfg.g_norm], f64),
+            )
+        else:
+            if not bool(np.asarray(prior.valid)):
+                return
+            new_prior = self._marg_new(state, prior)
+        self.prior = new_prior
+
+    # ------------------------------------------------------------------ slide
+    def _slide_window(self):
+        if self.frame_count < WINDOW:
+            return
+        if self.marg_old:
+            back_R0 = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[0])))
+            back_P0 = self.Ps[0].copy()
+            ric = np.asarray(geom.quat_to_mat(jnp.asarray(self.qic)))
+            # Shift states.
+            for arr in (self.Ps, self.Qs, self.Vs, self.Bas, self.Bgs, self.headers):
+                arr[:-1] = arr[1:]
+            self.imu_buf = self.imu_buf[1:] + [[]]
+            # Merge the first two entries' buffers is NOT needed: dropped.
+            self.imu_buf[0] = []
+            if self.solver_flag == self.NON_LINEAR:
+                R0 = back_R0 @ ric
+                P0 = back_P0 + back_R0 @ self.tic
+                R1 = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[0]))) @ ric
+                P1 = self.Ps[0] + np.asarray(
+                    geom.quat_to_mat(jnp.asarray(self.Qs[0]))
+                ) @ self.tic
+                self.fm.slide_old(R0, P0, R1, P1)
+            else:
+                self.fm.slide_old(np.eye(3), np.zeros(3), np.eye(3), np.zeros(3))
+            # Drop consumed all_frames (everything before new frame 0).
+            t0 = self.headers[0]
+            self.all_frames = [f for f in self.all_frames if f["t"] >= t0]
+        else:
+            j = self.frame_count
+            # Merge newest interval's IMU into interval j-1.
+            self.imu_buf[j - 1].extend(self.imu_buf[j])
+            self.imu_buf[j] = []
+            for arr in (self.Ps, self.Qs, self.Vs, self.Bas, self.Bgs, self.headers):
+                arr[j - 1] = arr[j]
+            self.fm.slide_second_new(j)
+            # Merge all_frames entries: drop the discarded frame's entry but
+            # keep its IMU attached to the successor.
+            if len(self.all_frames) >= 2:
+                merged = self.all_frames[-2]["imu"] + self.all_frames[-1]["imu"]
+                self.all_frames[-1]["imu"] = merged
+                del self.all_frames[-2]
+
+    # ------------------------------------------------------------ failure det
+    def _failure_detection(self):
+        """estimator.cpp:628-674 (active checks only)."""
+        if np.linalg.norm(self.Bgs[WINDOW]) > 1.0:
+            return True
+        if np.linalg.norm(self.Ps[WINDOW] - self.last_P) > 5.0:
+            return True
+        if abs(self.Ps[WINDOW][2] - self.last_P[2]) > 1.0:
+            return True
+        return False
+
+    # ---------------------------------------------------------------- initial
+    def _np_preint(self, imu, bg=None, start=None):
+        """Host preintegration of one buffer (for alignment frames)."""
+        if not imu:
+            return None
+        sd = np.float64
+        dts = np.asarray([b[0] for b in imu])
+        accs = np.asarray([b[1] for b in imu])
+        gyrs = np.asarray([b[2] for b in imu])
+        a0, g0 = start if start is not None else (accs[0], gyrs[0])
+        bg = np.zeros(3) if bg is None else bg
+        pre = preintegrate(
+            jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
+            jnp.asarray(a0), jnp.asarray(g0),
+            jnp.zeros(3, jnp.float64), jnp.asarray(bg),
+            self.cfg.imu_noise,
+        )
+        return pre
+
+    def _initial_structure(self):
+        """estimator.cpp:221-363 initialStructure."""
+        ric = np.asarray(geom.quat_to_mat(jnp.asarray(self.qic)))
+        # 1. relative pose pivot.
+        rel = None
+        for i in range(WINDOW):
+            b1, b2, _ = self.fm.corresponding(i, WINDOW)
+            if len(b1) > 20:
+                # parallax on the z=1 plane (reference uses plane coords).
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    p0 = b1[:, :2] / b1[:, 2:3]
+                    p1 = b2[:, :2] / b2[:, 2:3]
+                par = np.linalg.norm(p0 - p1, axis=-1)
+                par = par[np.isfinite(par)]
+                if len(par) and par.mean() * 160.0 > 30.0:
+                    R, T, ok = solve_relative_rt(b1, b2)
+                    if ok:
+                        rel = (i, R, T)
+                        break
+        if rel is None:
+            return False
+        l, rel_R, rel_T = rel
+
+        # 2. global SfM over the window features.
+        obs = self.fm.observations_dict()
+        ok, q_sfm, T_sfm, points = global_sfm(NFRAMES, l, rel_R, rel_T, obs)
+        if not ok:
+            self.marg_old = True
+            return False
+
+        # 3. PnP poses for all (non-window) frames vs sfm points.
+        from ..vinit.pnp import pnp_bearing_gn
+
+        frame_poses = []  # (R world<-imu, T) per all_frames entry
+        ki = 0
+        for fr in self.all_frames:
+            if ki < NFRAMES and abs(fr["t"] - self.headers[ki]) < 1e-9:
+                R_wc = np.asarray(geom.quat_to_mat(jnp.asarray(q_sfm[ki])))
+                fr["R"] = R_wc @ ric.T
+                fr["T"] = T_sfm[ki]
+                fr["is_key"] = True
+                ki += 1
+                frame_poses.append((fr["R"], fr["T"]))
+                continue
+            # Non-key frame: PnP against sfm points.
+            ids = [fid for fid in fr["feats"] if fid in points]
+            if len(ids) < 6:
+                return False
+            pw = np.stack([points[fid] for fid in ids])
+            bb = np.stack([fr["feats"][fid] for fid in ids])
+            # init from the previous solved frame.
+            if frame_poses:
+                R_init = frame_poses[-1][0] @ ric  # world<-cam
+                t_init = frame_poses[-1][1]
+            else:
+                R_init, t_init = np.eye(3), np.zeros(3)
+            R_cw = R_init.T
+            t_cw = -R_cw @ t_init
+            R_cw, t_cw, ok = pnp_bearing_gn(pw, bb, R_cw, t_cw)
+            if not ok:
+                return False
+            R_wc = R_cw.T
+            fr["R"] = R_wc @ ric.T
+            fr["T"] = -R_wc @ t_cw
+            fr["is_key"] = False
+            frame_poses.append((fr["R"], fr["T"]))
+
+        # 4. visual-inertial alignment.
+        align_frames = []
+        for fr in self.all_frames:
+            af = AlignFrame(R=fr["R"], T=fr["T"], is_key_frame=fr["is_key"])
+            pre = self._np_preint(fr["imu"], start=fr.get("imu_start"))
+            if pre is not None:
+                af.sum_dt = float(pre.sum_dt)
+                af.delta_p = np.asarray(pre.delta_p)
+                af.delta_q = np.asarray(pre.delta_q)
+                af.delta_v = np.asarray(pre.delta_v)
+                af.jac_q_bg = np.asarray(pre.jacobian[3:6, 12:15])
+            else:
+                af.sum_dt = 0.0
+                af.delta_p = np.zeros(3)
+                af.delta_q = np.array([1.0, 0, 0, 0])
+                af.delta_v = np.zeros(3)
+                af.jac_q_bg = np.zeros((3, 3))
+            align_frames.append(af)
+
+        def reprop(frames, dbg):
+            for fr, af in zip(self.all_frames, frames):
+                pre = self._np_preint(fr["imu"], bg=dbg, start=fr.get("imu_start"))
+                if pre is not None:
+                    af.delta_p = np.asarray(pre.delta_p)
+                    af.delta_q = np.asarray(pre.delta_q)
+                    af.delta_v = np.asarray(pre.delta_v)
+
+        # Skip the degenerate first frame (no preintegration) pairings are
+        # handled because frames[0].delta_* is identity and pairs use f_j's.
+        ok, dbg, g_vis, x = visual_imu_alignment(
+            align_frames[: None], self.tic, self.cfg.g_norm, reprop
+        )
+        if not ok:
+            return False
+
+        # 5. visualInitialAlign (estimator.cpp:367-443).
+        for i in range(NFRAMES):
+            kf = [f for f in self.all_frames if f["is_key"]]
+            self.Ps[i] = kf[i]["T"]
+            self.Qs[i] = np.asarray(
+                geom.mat_to_quat(jnp.asarray(np.asarray(kf[i]["R"])))
+            )
+        self.Bgs[:] = self.Bgs + dbg
+
+        s = float(x[-1])
+        # Reset depths & triangulate at unscaled poses with tic=0.
+        self.fm.depth[:] = -1.0
+        state_tmp = self._device_state(jnp.float64)
+        state_tmp = dataclasses.replace(
+            state_tmp, tic=jnp.zeros(3, jnp.float64)
+        )
+        grid = self._device_grid(jnp.float64)
+        inv_d = np.asarray(
+            triangulate_grid(state_tmp, grid, jnp.zeros(grid.used.shape, bool))
+        )
+        used = np.asarray(grid.used)
+        self.fm.depth[used] = 1.0 / np.maximum(inv_d[used], 1e-6)
+
+        # Rescale: Ps = s*Ps - Rs*tic - (s*Ps0 - Rs0*tic); depths *= s.
+        R0s = [np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[i]))) for i in range(NFRAMES)]
+        base = s * self.Ps[0] - R0s[0] @ self.tic
+        for i in range(NFRAMES - 1, -1, -1):
+            self.Ps[i] = s * self.Ps[i] - R0s[i] @ self.tic - base
+        kv = -1
+        for fr, af in zip(self.all_frames, align_frames):
+            if fr["is_key"]:
+                kv += 1
+                self.Vs[kv] = fr["R"] @ x[kv * 3 : kv * 3 + 3]
+        self.fm.depth[used] *= s
+
+        # Gravity alignment: rotate world so g -> (0,0,g_norm), yaw(R0)=0.
+        R0 = np.asarray(geom.g2R(jnp.asarray(g_vis)))
+        yaw = float(
+            np.asarray(geom.R_to_ypr_deg(jnp.asarray(R0 @ R0s[0])))[0]
+        )
+        R0 = np.asarray(
+            geom.ypr_deg_to_R(jnp.asarray([-yaw, 0.0, 0.0]))
+        ) @ R0
+        self.gravity = R0 @ g_vis
+        for i in range(NFRAMES):
+            Ri = R0 @ R0s[i]
+            self.Ps[i] = R0 @ self.Ps[i]
+            self.Vs[i] = R0 @ self.Vs[i]
+            self.Qs[i] = np.asarray(geom.mat_to_quat(jnp.asarray(Ri)))
+        return True

@@ -1,0 +1,61 @@
+"""End-to-end VIO on the synthetic PAL world: render → track → initialize →
+sliding-window solve → trajectory, evaluated against exact ground truth."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfvio_tpu.runtime.synthetic import SyntheticWorld, make_synthetic_pal_camera, SYN_MIN_R, SYN_MAX_R
+from lfvio_tpu.runtime.tracker import FrontEnd
+from lfvio_tpu.runtime.estimator import Estimator, EstimatorConfig
+from lfvio_tpu.runtime.pipeline import VioPipeline
+from lfvio_tpu.runtime.evaluation import ate_rmse
+
+
+@pytest.fixture(scope="module")
+def world():
+    cam = make_synthetic_pal_camera(dtype=jnp.float64)
+    return SyntheticWorld(camera=cam)
+
+
+def test_synthetic_render_and_track(world):
+    """Tracker sanity on rendered frames: most features should track between
+    consecutive synthetic frames."""
+    fe = FrontEnd(
+        world.camera, (world.height, world.width),
+        max_cnt=120, min_dist=15, n_slots=160,
+        annulus=(world.width / 2, world.height / 2, SYN_MAX_R, SYN_MIN_R),
+        equalize=False, dtype=jnp.float32,
+    )
+    f0 = fe.process(world.render(0.0), 0.0)
+    f1 = fe.process(world.render(1 / 15), 1 / 15)
+    assert f1 is not None and len(f1) > 60, len(f1) if f1 else 0
+    # Bearings should be unit and span the negative half-plane.
+    bs = np.stack([v[0] for v in f1.values()])
+    np.testing.assert_allclose(np.linalg.norm(bs, axis=-1), 1.0, atol=1e-5)
+    assert (bs[:, 2] < 0).any() and (bs[:, 2] > 0).any()
+
+
+def test_e2e_vio_ate(world):
+    """Full pipeline on 8 s of synthetic data: ATE should be centimetric."""
+    fe = FrontEnd(
+        world.camera, (world.height, world.width),
+        max_cnt=120, min_dist=15, n_slots=160,
+        annulus=(world.width / 2, world.height / 2, SYN_MAX_R, SYN_MIN_R),
+        equalize=False, dtype=jnp.float32,
+    )
+    est = Estimator(EstimatorConfig(
+        n_feature_slots=256,
+        solver_dtype=jnp.float64,
+    ))
+    pipe = VioPipeline(fe, est)
+    stream = world.generate(duration=8.0, frame_rate=15.0, imu_rate=200.0)
+    times, traj_p, traj_q = pipe.run(stream, lambda t: world.render(t))
+
+    assert est.solver_flag == est.NON_LINEAR, "initialization failed"
+    assert len(times) > 40, len(times)
+
+    gt_p = np.stack([world.pose(t)[0] for t in times])
+    ate, n = ate_rmse(times, traj_p, times, gt_p)
+    assert np.isfinite(ate)
+    assert ate < 0.05, f"ATE {ate:.3f} m too large"

@@ -43,8 +43,7 @@ def triangulate_grid(state: WindowState, grid: FeatureGrid, has_depth):
     # Relative projection per (f, j): X_cam_j = R_rel X_anchor + t_rel with
     # R_rel = R_cj^T R_0, t_rel = R_cj^T (t0 - t_cj).
     R_rel = jnp.einsum("wji,fjk->fwik", R_c, R0)  # [F, W+1, 3, 3]
-    t_rel = jnp.einsum("wji,fj->fwi", R_c, t0[:, None, :] - t_c[None, :, :])
-    # ^ note: broadcasting (t0 - t_c) per (f, w): [F, W+1, 3]
+    t_rel = jnp.einsum("wji,fwj->fwi", R_c, t0[:, None, :] - t_c[None, :, :])
 
     P = jnp.concatenate([R_rel, t_rel[..., None]], axis=-1)  # [F, W+1, 3, 4]
     f = grid.bearing / jnp.maximum(

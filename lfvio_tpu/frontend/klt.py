@@ -26,7 +26,7 @@ WIN = 41  # correlation window (reference: cv::Size(41, 41))
 HALF = WIN // 2
 SEARCH_MARGIN = 6  # extra px the iterations may move within the cached patch
 PATCH = WIN + 1 + 2 * SEARCH_MARGIN  # cached search-window side
-N_ITERS = 10  # per level (cv default 30 w/ eps 0.01; 10 suffices at 3 levels)
+N_ITERS = 20  # per level (cv default 30 w/ eps 0.01)
 MIN_EIG_THR = 1e-4  # per-pixel-normalized min eigenvalue gate (cv: 1e-4)
 
 

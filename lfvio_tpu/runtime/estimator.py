@@ -81,6 +81,7 @@ class Estimator:
             )
         ))
         self._solve = jax.jit(self._solve_impl)
+        self._residuals = jax.jit(self._residuals_impl)
         cpu = jax.devices("cpu")[0]
         self._marg_old = jax.jit(
             partial(marginalize_old, cfg=self.scfg), device=cpu
@@ -167,6 +168,14 @@ class Estimator:
             state, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg
         )
         return out, c0, c1
+
+    def _residuals_impl(self, state, grid):
+        from ..backend.factors import projection_residuals_grid
+
+        res, valid = projection_residuals_grid(
+            state, grid, jnp.asarray(self.scfg.proj_sqrt_info, state.p.dtype)
+        )
+        return jnp.linalg.norm(res, axis=-1), valid
 
     # ----------------------------------------------------------- preint build
     def _padded_interval(self, buf, ba, bg):
@@ -360,8 +369,37 @@ class Estimator:
             state, grid, pre, sqrt_info, imu_valid, prior, has_depth
         )
         self._write_back(out)
+        self._gate_observations(out, grid)
         # Marginalization for the upcoming slide.
         self._marginalize(pre, sqrt_info, imu_valid)
+
+    # Reprojection gate: observations worse than ~3 px (sqrt_info units,
+    # 1 px ~ FOCAL/1.5/FOCAL = 0.667) are tracking drift/outliers. The
+    # reference's removeOutlier is disabled (feature_manager.cpp:255-268);
+    # with a fully batched residual pass this costs nothing and keeps
+    # drifted KLT tracks from polluting the window and the marg prior.
+    GATE_THRESH = 2.0
+
+    def _gate_observations(self, out: WindowState, grid):
+        rn, valid = self._residuals(out, grid)
+        rn = np.asarray(rn, np.float64)
+        valid = np.asarray(valid)
+        bad = valid & (rn > self.GATE_THRESH)
+        if not bad.any():
+            return
+        fm = self.fm
+        for f, j in zip(*np.where(bad)):
+            if fm.anchor[f] == j:
+                continue  # anchor rows are never residual rows
+            fm.valid[f, j] = False
+        # Features left with < 2 observations are dead.
+        for f in np.where(fm.feature_id >= 0)[0]:
+            if fm.valid[f].sum() < 2:
+                fm._free(f)
+            elif not fm.valid[f, fm.anchor[f]]:
+                first = int(np.argmax(fm.valid[f]))
+                fm.anchor[f] = first
+                fm.depth[f] = -1.0
 
     def _write_back(self, out: WindowState):
         """double2vector (estimator.cpp:532-626): re-anchor yaw & position of

@@ -75,8 +75,8 @@ class SyntheticWorld:
     g_norm: float = 9.81
     seed: int = 0
     # trajectory scale knobs
-    traj_amp: float = 1.2
-    traj_freq: float = 0.35
+    traj_amp: float = 0.8
+    traj_freq: float = 0.25
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)

@@ -70,7 +70,9 @@ class FrontEnd:
 
         self._preprocess = jax.jit(self._preprocess_impl)
         self._track = jax.jit(self._track_impl)
-        self._detect = jax.jit(self._detect_impl, static_argnames=("n_new",))
+        # Detect always selects max_cnt candidates (static shape — a varying
+        # n_new would recompile every frame); the host takes what it needs.
+        self._detect = jax.jit(self._detect_impl)
         self._lift = jax.jit(self._lift_impl)
         self._ransac = jax.jit(self._ransac_impl)
 
@@ -84,11 +86,11 @@ class FrontEnd:
     def _track_impl(self, pyr_prev, pyr_next, pts, valid):
         return pyramidal_lk(list(pyr_prev), list(pyr_next), pts, valid, self.n_levels)
 
-    def _detect_impl(self, img, existing_pts, existing_valid, n_new):
+    def _detect_impl(self, img, existing_pts, existing_valid):
         resp = shi_tomasi_response(img)
         return select_features(
             resp, self.static_mask, existing_pts, existing_valid,
-            n_new, self.min_dist,
+            self.max_cnt, self.min_dist,
         )
 
     def _lift_impl(self, pts):
@@ -161,13 +163,12 @@ class FrontEnd:
                     pyr[0],
                     jnp.asarray(self.pos, self.dtype),
                     jnp.asarray(valid),
-                    n_new=int(n_new),
                 )
                 new_pts = np.asarray(new_pts, np.float64)
                 new_ok = np.asarray(new_ok)
                 free = np.where(~valid)[0]
                 k = 0
-                for i in np.where(new_ok)[0]:
+                for i in np.where(new_ok)[0][:n_new]:
                     if k >= len(free):
                         break
                     s = free[k]

@@ -18,6 +18,13 @@ import numpy as np
 from .pnp import pnp_bearing_gn, _exp_so3, _skew, _tangent_basis
 from .relative import _triangulate_ray
 
+DEBUG = False
+
+
+def _dbg(*a):
+    if DEBUG:
+        print("[sfm]", *a)
+
 
 def _triangulate_two(pose_i, pose_j, b_i, b_j):
     Pi = np.hstack([pose_i[0], pose_i[1][:, None]])
@@ -86,6 +93,7 @@ def global_sfm(n_frames, l, relative_R, relative_T, observations):
     triangulate_pair(l, n_frames - 1)
     for i in range(l + 1, n_frames - 1):
         if not pnp_frame(i, R_cw[i - 1].copy(), t_cw[i - 1].copy()):
+            _dbg("pnp fwd failed at frame", i, "points", len(points))
             return False, None, None, None
         triangulate_pair(i, n_frames - 1)
     # 3: triangulate l against middle frames.
@@ -94,6 +102,7 @@ def global_sfm(n_frames, l, relative_R, relative_T, observations):
     # 4: backward chain l-1..0.
     for i in range(l - 1, -1, -1):
         if not pnp_frame(i, R_cw[i + 1].copy(), t_cw[i + 1].copy()):
+            _dbg("pnp bwd failed at frame", i)
             return False, None, None, None
         triangulate_pair(i, l)
     # 5: remaining points from first/last observation pair.
@@ -110,6 +119,7 @@ def global_sfm(n_frames, l, relative_R, relative_T, observations):
 
     ok, cost = _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames)
     if not ok:
+        _dbg("BA failed, cost", cost, "n_points", len(points))
         return False, None, None, None
 
     # Convert to world-from-camera (reference's q/T output).
@@ -124,9 +134,15 @@ def global_sfm(n_frames, l, relative_R, relative_T, observations):
     return True, q_out, T_out, points
 
 
-def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=12):
+def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=15,
+                   huber=3e-3):
     """Damped GN bundle adjustment on tangent-plane bearing residuals with
-    the reference's gauge: pose l fixed, translation of frame n-1 fixed."""
+    the reference's gauge: pose l fixed, translation of frame n-1 fixed.
+
+    Robustified beyond the reference's plain L2 (initial_sfm.cpp:263-268):
+    Huber weighting at ~0.5 px equivalent plus hard pruning of gross
+    outliers — KLT drift accumulates over the window and per-pair RANSAC
+    cannot catch it, so the bootstrap must."""
     pids = sorted(points.keys())
     pid_idx = {fid: k for k, fid in enumerate(pids)}
     n_pts = len(pids)
@@ -150,18 +166,24 @@ def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=12):
     lam = 1e-4
     X = np.stack([points[fid] for fid in pids])  # [P, 3]
 
+    active = [True] * len(rows)
+
     def compute(Rs, ts, X):
         """residuals + full dense H (small problem: ~66+3P dims)."""
         D = Dc + 3 * n_pts
         H = np.zeros((D, D))
         g = np.zeros(D)
         cost = 0.0
-        for fr, k, b, tb in rows:
+        for ridx, (fr, k, b, tb) in enumerate(rows):
+            if not active[ridx]:
+                continue
             pc = Rs[fr] @ X[k] + ts[fr]
             nrm = max(np.linalg.norm(pc), 1e-12)
             u = pc / nrm
             r = tb @ (u - b)
-            cost += float(r @ r)
+            rn = np.linalg.norm(r)
+            w = 1.0 if rn <= huber else huber / rn  # Huber IRLS weight
+            cost += float(w * (r @ r))
             P = (np.eye(3) - np.outer(u, u)) / nrm
             Jp = tb @ P
             Jpose = np.zeros((2, 6))
@@ -170,13 +192,19 @@ def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=12):
             Jpt = Jp @ Rs[fr]
             ci = 6 * fr
             pi = Dc + 3 * k
-            H[ci : ci + 6, ci : ci + 6] += Jpose.T @ Jpose
-            H[pi : pi + 3, pi : pi + 3] += Jpt.T @ Jpt
-            H[ci : ci + 6, pi : pi + 3] += Jpose.T @ Jpt
-            H[pi : pi + 3, ci : ci + 6] += Jpt.T @ Jpose
-            g[ci : ci + 6] += Jpose.T @ r
-            g[pi : pi + 3] += Jpt.T @ r
+            H[ci : ci + 6, ci : ci + 6] += w * (Jpose.T @ Jpose)
+            H[pi : pi + 3, pi : pi + 3] += w * (Jpt.T @ Jpt)
+            H[ci : ci + 6, pi : pi + 3] += w * (Jpose.T @ Jpt)
+            H[pi : pi + 3, ci : ci + 6] += w * (Jpt.T @ Jpose)
+            g[ci : ci + 6] += w * (Jpose.T @ r)
+            g[pi : pi + 3] += w * (Jpt.T @ r)
         return H, g, cost
+
+    def residual_of(Rs, ts, X, ridx):
+        fr, k, b, tb = rows[ridx]
+        pc = Rs[fr] @ X[k] + ts[fr]
+        u = pc / max(np.linalg.norm(pc), 1e-12)
+        return float(np.linalg.norm(tb @ (u - b)))
 
     Rs = [R.copy() for R in R_cw]
     ts = [t.copy() for t in t_cw]
@@ -187,7 +215,7 @@ def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=12):
     fixed[6 * (n_frames - 1) + 3 : 6 * (n_frames - 1) + 6] = True
 
     H, g, cost = compute(Rs, ts, X)
-    for _ in range(n_iters):
+    for it in range(n_iters):
         Hd = H.copy()
         Hd[fixed, :] = 0.0
         Hd[:, fixed] = 0.0
@@ -207,6 +235,17 @@ def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=12):
             lam = max(lam * 0.3, 1e-9)
         else:
             lam = min(lam * 10, 1e5)
+        if it == n_iters // 2:
+            # Mid-run pruning: drop gross outliers (> ~3 px equivalent) and
+            # re-linearize; they are tracking failures, not geometry.
+            n_drop = 0
+            for ridx in range(len(rows)):
+                if active[ridx] and residual_of(Rs, ts, X, ridx) > 6.0 * huber:
+                    active[ridx] = False
+                    n_drop += 1
+            if n_drop:
+                _dbg("pruned", n_drop, "of", len(rows), "observations")
+                H, g, cost = compute(Rs, ts, X)
 
     # Write back.
     for i in range(n_frames):
@@ -214,5 +253,7 @@ def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=12):
     for fid, k in pid_idx.items():
         points[fid] = X[k]
     # Convergence gate in the spirit of final_cost < 5e-3 (initial_sfm.cpp:292)
-    mean_res = cost / max(len(rows), 1)
-    return mean_res < 1e-4, cost
+    n_active = max(sum(active), 1)
+    mean_res = cost / n_active
+    _dbg("BA mean residual^2 per obs:", mean_res, "active:", n_active, "/", len(rows))
+    return mean_res < 1e-4 and n_active > 0.5 * len(rows), cost

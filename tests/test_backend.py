@@ -294,3 +294,18 @@ def test_marginalize_old_prior_consistency():
     S_shift[np.ix_(rows, rows)] = S_full[np.ix_(new_from_old[rows], new_from_old[rows])]
     scale = max(np.abs(S_shift).max(), 1.0)
     np.testing.assert_allclose(H_prior / scale, S_shift / scale, atol=5e-5)
+
+
+def test_triangulate_grid_recovers_depths():
+    from lfvio_tpu.backend.triangulate import triangulate_grid
+
+    p, v, q, pts_w, tic, qic = make_scene()
+    grid, inv_depth = project_to_grid(p, q, pts_w, tic, qic)
+    state = make_state(p, v, q, tic, qic, jnp.ones(F))
+    has_depth = jnp.zeros(F, bool)
+    inv_est = triangulate_grid(state, grid, has_depth)
+    np.testing.assert_allclose(np.asarray(inv_est), np.asarray(inv_depth), rtol=1e-6)
+    # has_depth entries must be passed through untouched.
+    keep = jnp.zeros(F, bool).at[::2].set(True)
+    inv_mixed = triangulate_grid(state, grid, keep)
+    np.testing.assert_allclose(np.asarray(inv_mixed[::2]), 1.0)

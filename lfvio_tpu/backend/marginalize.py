@@ -39,38 +39,42 @@ from .factors import prior_residual, state_box_minus
 EPS = 1e-8  # reference eigenvalue threshold (marginalization_factor.h eps)
 
 
-def _eliminate_indices(H, b, idx_mask):
-    """Schur-eliminate the rows/cols selected by idx_mask (boolean [D]) using
-    an eigendecomposition pseudo-inverse of the mm block (reference
-    marginalization_factor.cpp:266-281), keeping static shapes: eliminated
-    rows/cols of the result are zero."""
-    D = H.shape[0]
-    m = idx_mask.astype(H.dtype)
-    r = 1.0 - m
-    # Amm as a full-size matrix restricted to the dropped block.
-    Amm = H * m[:, None] * m[None, :]
-    Amm = 0.5 * (Amm + Amm.T)
-    # Add identity on the kept part so eigh is well-conditioned; those
-    # eigenpairs are excluded from the inverse by masking eigenvectors.
-    w, V = jnp.linalg.eigh(Amm + jnp.diag(r))
-    # Pseudo-inverse over the dropped subspace only: eigenvectors with
-    # support on kept coords correspond to the added identity (eigenvalue 1
-    # with kept-basis vectors); mask them out by projecting V onto dropped
-    # coords.
-    Vm = V * m[:, None]
-    w_eff = jnp.einsum("ij,ij->j", Vm, jnp.einsum("ik,kj->ij", Amm, Vm))
-    inv_w = jnp.where(w_eff > EPS, 1.0 / jnp.maximum(w_eff, EPS), 0.0)
-    # Normalize columns restricted to dropped coords (they may lose norm).
-    norms = jnp.sum(Vm * Vm, axis=0)
-    scale = jnp.where(norms > 1e-12, 1.0 / jnp.maximum(norms, 1e-12), 0.0)
-    Amm_inv = (Vm * (inv_w * scale)[None, :]) @ Vm.T
+def _eliminate_indices(H, b, drop_idx):
+    """Schur-eliminate the STATICALLY-indexed rows/cols drop_idx (a Python
+    tuple) via an eigendecomposition pseudo-inverse of the mm block
+    (reference marginalization_factor.cpp:266-281). Output keeps the full
+    static shape with eliminated rows/cols zeroed.
 
-    Arm = H * r[:, None] * m[None, :]  # kept rows, dropped cols
-    Arr = H * r[:, None] * r[None, :]
-    bmm = b * m
-    brr = b * r
-    H_new = Arr - Arm @ Amm_inv @ Arm.T
-    b_new = brr - Arm @ (Amm_inv @ bmm)
+    The drop sets here are compile-time constants (pose0+speedbias0, or
+    pose[W-1]), so the mm block is extracted by static slicing — no masking
+    shims whose spurious eigenvalues could degenerate with the real spectrum.
+    """
+    import numpy as onp
+
+    D = H.shape[0]
+    idx = onp.asarray(drop_idx, onp.int64)
+    keep_mask = onp.ones(D, bool)
+    keep_mask[idx] = False
+    keep_v = jnp.asarray(~keep_mask, H.dtype)  # 1 on dropped
+    keep_r = jnp.asarray(keep_mask, H.dtype)  # 1 on kept
+
+    Amm = H[jnp.ix_(idx, idx)]
+    Amm = 0.5 * (Amm + Amm.T)
+    w, V = jnp.linalg.eigh(Amm)
+    # Relative eigenvalue threshold: with sqrt_info^2 scales the spectrum
+    # spans ~[0, 1e7]; an absolute eps would keep numerically-noisy near-null
+    # directions whose pseudo-inverse injects junk into the prior.
+    thr = jnp.maximum(jnp.max(jnp.abs(w)) * 1e-12, EPS)
+    inv_w = jnp.where(w > thr, 1.0 / jnp.maximum(w, thr), 0.0)
+    Amm_inv = (V * inv_w[None, :]) @ V.T
+
+    Hm = H[:, idx]  # [D, m]
+    bm = b[idx]
+    H_new = H - Hm @ Amm_inv @ Hm.T
+    b_new = b - Hm @ (Amm_inv @ bm)
+    # Zero the eliminated rows/cols exactly.
+    H_new = H_new * keep_r[:, None] * keep_r[None, :]
+    b_new = b_new * keep_r
     return H_new, b_new
 
 
@@ -78,19 +82,19 @@ def _sqrt_factorize(H, b):
     """H = Jᵀ J, b = Jᵀ r recovery (marginalization_factor.cpp:283-291)."""
     Hs = 0.5 * (H + H.T)
     w, V = jnp.linalg.eigh(Hs)
-    S = jnp.where(w > EPS, w, 0.0)
-    S_inv = jnp.where(w > EPS, 1.0 / jnp.maximum(w, EPS), 0.0)
+    thr = jnp.maximum(jnp.max(w) * 1e-10, EPS)
+    S = jnp.where(w > thr, w, 0.0)
+    S_inv = jnp.where(w > thr, 1.0 / jnp.maximum(w, thr), 0.0)
     J = jnp.sqrt(S)[:, None] * V.T
     r = (jnp.sqrt(S_inv)[:, None] * V.T) @ b
     return J, r
 
 
-def _drop_mask_old(n_frames: int, dtype=bool):
-    D = pose_dim(n_frames)
-    mask = jnp.zeros((D,), dtype)
-    mask = mask.at[pose_off(0) : pose_off(0) + 6].set(True)
-    mask = mask.at[sb_off(0, n_frames) : sb_off(0, n_frames) + 9].set(True)
-    return mask
+def _drop_idx_old(n_frames: int):
+    """Static dropped indices for MARGIN_OLD: pose0 (6) + speedbias0 (9)."""
+    return tuple(range(pose_off(0), pose_off(0) + 6)) + tuple(
+        range(sb_off(0, n_frames), sb_off(0, n_frames) + 9)
+    )
 
 
 def _shift_prior_blocks(J, r, n_frames: int):
@@ -167,7 +171,7 @@ def marginalize_old(
     b_p = b_p - H_pl @ (inv_Hll * b_l)
 
     # Eliminate pose0 + speedbias0.
-    H_new, b_new = _eliminate_indices(H_pp, b_p, _drop_mask_old(n_frames))
+    H_new, b_new = _eliminate_indices(H_pp, b_p, _drop_idx_old(n_frames))
     J, r = _sqrt_factorize(H_new, b_new)
     J, r = _shift_prior_blocks(J, r, n_frames)
     x0 = _shift_state_snapshot(state)
@@ -188,8 +192,7 @@ def marginalize_second_new(state: WindowState, prior: PriorFactor, cfg: SolverCo
     H = J0.T @ J0
     b = J0.T @ rp
 
-    drop = jnp.zeros((D,), bool)
-    drop = drop.at[pose_off(n_frames - 2) : pose_off(n_frames - 2) + 6].set(True)
+    drop = tuple(range(pose_off(n_frames - 2), pose_off(n_frames - 2) + 6))
     H_new, b_new = _eliminate_indices(H, b, drop)
     J, r = _sqrt_factorize(H_new, b_new)
 

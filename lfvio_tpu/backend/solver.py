@@ -319,9 +319,15 @@ def lm_solve(
         dx, dlam = _schur_solve(
             H_pp, H_pl, H_ll, b_p, b_l, lam_damp, grid.used, dtype
         )
+        # A non-finite step (singular damped system) must be rejected, not
+        # propagated — NaNs would freeze the accept test forever.
+        step_ok = jnp.isfinite(dx).all() & jnp.isfinite(dlam).all()
+        dx = jnp.where(step_ok, dx, 0.0)
+        dlam = jnp.where(step_ok, dlam, 0.0)
         s_new = apply_delta(s, dx, dlam, cfg)
         new_cost = cost_fn(s_new)
-        accept = new_cost < cost
+        new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
+        accept = step_ok & (new_cost < cost)
         s_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), s_new, s
         )
@@ -331,6 +337,7 @@ def lm_solve(
         return (s_next, lam_next, cost_next), cost_next
 
     init_cost = cost_fn(state)
+    init_cost = jnp.where(jnp.isfinite(init_cost), init_cost, jnp.inf)
     lam0 = jnp.asarray(cfg.init_lambda, dtype)
     (state_out, _, final_cost), cost_hist = jax.lax.scan(
         step, (state, lam0, init_cost), None, length=cfg.max_iterations

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import geom
+from ..geom import host as hg
 from ..imu import ImuNoise, preintegrate
 from ..backend import (
     WindowState,
@@ -100,9 +101,7 @@ class Estimator:
         self.Bas = np.zeros((W1, 3))
         self.Bgs = np.zeros((W1, 3))
         self.tic = np.asarray(cfg.tic, np.float64).copy()
-        self.qic = np.asarray(
-            geom.mat_to_quat(jnp.asarray(np.asarray(cfg.ric, np.float64)))
-        )
+        self.qic = hg.mat_to_quat(np.asarray(cfg.ric, np.float64))
         self.td = cfg.td0
         self.frame_count = 0
         self.solver_flag = self.INITIAL
@@ -139,22 +138,18 @@ class Estimator:
         if j != 0:
             self.imu_buf[j].append((dt, acc.copy(), gyr.copy()))
             self.tmp_imu_buf.append((dt, acc.copy(), gyr.copy()))
-            if self.gravity is not None or True:
-                g = np.array([0.0, 0.0, self.cfg.g_norm])
-                R = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[j])))
-                un_acc_0 = R @ (self.acc_0 - self.Bas[j]) - g
-                un_gyr = 0.5 * (self.gyr_0 + gyr) - self.Bgs[j]
-                dq = np.asarray(geom.so3_exp(jnp.asarray(un_gyr * dt)))
-                q_new = np.asarray(
-                    geom.quat_mul(jnp.asarray(self.Qs[j]), jnp.asarray(dq))
-                )
-                q_new = q_new / np.linalg.norm(q_new)
-                R_new = np.asarray(geom.quat_to_mat(jnp.asarray(q_new)))
-                un_acc_1 = R_new @ (acc - self.Bas[j]) - g
-                un_acc = 0.5 * (un_acc_0 + un_acc_1)
-                self.Ps[j] += dt * self.Vs[j] + 0.5 * dt * dt * un_acc
-                self.Vs[j] += dt * un_acc
-                self.Qs[j] = q_new
+            g = np.array([0.0, 0.0, self.cfg.g_norm])
+            R = hg.quat_to_mat(self.Qs[j])
+            un_acc_0 = R @ (self.acc_0 - self.Bas[j]) - g
+            un_gyr = 0.5 * (self.gyr_0 + gyr) - self.Bgs[j]
+            q_new = hg.quat_normalize(
+                hg.quat_mul(self.Qs[j], hg.so3_exp(un_gyr * dt))
+            )
+            un_acc_1 = hg.quat_to_mat(q_new) @ (acc - self.Bas[j]) - g
+            un_acc = 0.5 * (un_acc_0 + un_acc_1)
+            self.Ps[j] += dt * self.Vs[j] + 0.5 * dt * dt * un_acc
+            self.Vs[j] += dt * un_acc
+            self.Qs[j] = q_new
         self.acc_0, self.gyr_0 = acc, gyr
 
     # ------------------------------------------------------------- device fns
@@ -240,9 +235,13 @@ class Estimator:
         for i in range(covs.shape[0]):
             if valid[i]:
                 try:
-                    sqrt_infos[i] = np.linalg.cholesky(
-                        np.linalg.inv(covs[i])
-                    ).T
+                    si = np.linalg.cholesky(np.linalg.inv(covs[i])).T
+                    # Whitening must stay finite and sane; a (near-)singular
+                    # covariance (too-short interval) would blow the system.
+                    if np.isfinite(si).all() and np.abs(si).max() < 1e9:
+                        sqrt_infos[i] = si
+                    else:
+                        valid[i] = False
                 except np.linalg.LinAlgError:
                     valid[i] = False
         return pre, jnp.asarray(sqrt_infos, sd), jnp.asarray(np.asarray(valid))
@@ -317,7 +316,7 @@ class Estimator:
                     self._solve_odometry()
                     self._slide_window()
                     self._record_output(t)
-                    self.last_R = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[WINDOW])))
+                    self.last_R = hg.quat_to_mat(self.Qs[WINDOW])
                     self.last_P = self.Ps[WINDOW].copy()
                 else:
                     self._slide_window()
@@ -339,9 +338,9 @@ class Estimator:
             self._slide_window()
             self.fm.remove_failures()
             self._record_output(t)
-            self.last_R = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[WINDOW])))
+            self.last_R = hg.quat_to_mat(self.Qs[WINDOW])
             self.last_P = self.Ps[WINDOW].copy()
-            self.last_R0 = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[0])))
+            self.last_R0 = hg.quat_to_mat(self.Qs[0])
             self.last_P0 = self.Ps[0].copy()
 
     def _record_output(self, t):
@@ -373,12 +372,14 @@ class Estimator:
         # Marginalization for the upcoming slide.
         self._marginalize(pre, sqrt_info, imu_valid)
 
-    # Reprojection gate: observations worse than ~3 px (sqrt_info units,
-    # 1 px ~ FOCAL/1.5/FOCAL = 0.667) are tracking drift/outliers. The
-    # reference's removeOutlier is disabled (feature_manager.cpp:255-268);
-    # with a fully batched residual pass this costs nothing and keeps
-    # drifted KLT tracks from polluting the window and the marg prior.
-    GATE_THRESH = 2.0
+    # Reprojection gate: observations with residuals beyond this (sqrt_info
+    # units, 1 px ~ 0.667) could be dropped post-solve. A/B on the synthetic
+    # e2e shows aggressive gating (3 px) *hurts* (drift 0.58 -> 3.1 m): the
+    # re-anchoring/depth resets destabilize the window, which is presumably
+    # why the reference ships removeOutlier disabled
+    # (feature_manager.cpp:255-268). Effectively off by default; the Cauchy
+    # loss already bounds outlier influence.
+    GATE_THRESH = 1e9
 
     def _gate_observations(self, out: WindowState, grid):
         rn, valid = self._residuals(out, grid)
@@ -404,35 +405,28 @@ class Estimator:
     def _write_back(self, out: WindowState):
         """double2vector (estimator.cpp:532-626): re-anchor yaw & position of
         frame 0 to their pre-solve values (4-DoF gauge fix), then copy."""
-        origin_R0 = np.asarray(
-            geom.R_to_ypr_deg(geom.quat_to_mat(jnp.asarray(self.Qs[0])))
-        )
+        origin_R0 = hg.R_to_ypr_deg(hg.quat_to_mat(self.Qs[0]))
         origin_P0 = self.Ps[0].copy()
         if self.failure_occur:
-            origin_R0 = np.asarray(
-                geom.R_to_ypr_deg(jnp.asarray(self.last_R0))
-            )
+            origin_R0 = hg.R_to_ypr_deg(self.last_R0)
             origin_P0 = self.last_P0.copy()
             self.failure_occur = False
 
         q_new = np.asarray(out.q, np.float64)
         p_new = np.asarray(out.p, np.float64)
-        R00 = np.asarray(geom.quat_to_mat(jnp.asarray(q_new[0])))
-        new_ypr0 = np.asarray(geom.R_to_ypr_deg(jnp.asarray(R00)))
+        R00 = hg.quat_to_mat(q_new[0])
+        new_ypr0 = hg.R_to_ypr_deg(R00)
         y_diff = origin_R0[0] - new_ypr0[0]
-        rot_diff = np.asarray(
-            geom.ypr_deg_to_R(jnp.asarray([y_diff, 0.0, 0.0]))
-        )
+        rot_diff = hg.ypr_deg_to_R([y_diff, 0.0, 0.0])
         if abs(abs(origin_R0[1]) - 90) < 1.0 or abs(abs(new_ypr0[1]) - 90) < 1.0:
             # Euler singularity: full rotation re-anchor.
-            R0_old = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[0])))
+            R0_old = hg.quat_to_mat(self.Qs[0])
             rot_diff = R0_old @ R00.T
 
         v_new = np.asarray(out.v, np.float64)
         for i in range(NFRAMES):
-            Ri = np.asarray(geom.quat_to_mat(jnp.asarray(q_new[i])))
-            Rfix = rot_diff @ Ri
-            self.Qs[i] = np.asarray(geom.mat_to_quat(jnp.asarray(Rfix)))
+            Rfix = rot_diff @ hg.quat_to_mat(q_new[i])
+            self.Qs[i] = hg.mat_to_quat(Rfix)
             self.Ps[i] = rot_diff @ (p_new[i] - p_new[0]) + origin_P0
             self.Vs[i] = rot_diff @ v_new[i]
         self.Bas = np.asarray(out.ba, np.float64).copy()
@@ -470,6 +464,13 @@ class Estimator:
             if not bool(np.asarray(prior.valid)):
                 return
             new_prior = self._marg_new(state, prior)
+        # A corrupted prior would silently poison every following solve;
+        # drop it (fall back to prior-less operation) instead.
+        J = np.asarray(new_prior.J)
+        r0 = np.asarray(new_prior.r0)
+        if not (np.isfinite(J).all() and np.isfinite(r0).all()):
+            self.prior = None
+            return
         self.prior = new_prior
 
     # ------------------------------------------------------------------ slide
@@ -477,9 +478,9 @@ class Estimator:
         if self.frame_count < WINDOW:
             return
         if self.marg_old:
-            back_R0 = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[0])))
+            back_R0 = hg.quat_to_mat(self.Qs[0])
             back_P0 = self.Ps[0].copy()
-            ric = np.asarray(geom.quat_to_mat(jnp.asarray(self.qic)))
+            ric = hg.quat_to_mat(self.qic)
             # Shift states.
             for arr in (self.Ps, self.Qs, self.Vs, self.Bas, self.Bgs, self.headers):
                 arr[:-1] = arr[1:]
@@ -489,10 +490,9 @@ class Estimator:
             if self.solver_flag == self.NON_LINEAR:
                 R0 = back_R0 @ ric
                 P0 = back_P0 + back_R0 @ self.tic
-                R1 = np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[0]))) @ ric
-                P1 = self.Ps[0] + np.asarray(
-                    geom.quat_to_mat(jnp.asarray(self.Qs[0]))
-                ) @ self.tic
+                Rnew0 = hg.quat_to_mat(self.Qs[0])
+                R1 = Rnew0 @ ric
+                P1 = self.Ps[0] + Rnew0 @ self.tic
                 self.fm.slide_old(R0, P0, R1, P1)
             else:
                 self.fm.slide_old(np.eye(3), np.zeros(3), np.eye(3), np.zeros(3))
@@ -527,26 +527,58 @@ class Estimator:
 
     # ---------------------------------------------------------------- initial
     def _np_preint(self, imu, bg=None, start=None):
-        """Host preintegration of one buffer (for alignment frames)."""
+        """Host (numpy, f64) midpoint preintegration of one buffer — only the
+        deltas and the gyro-bias rotation Jacobian needed by the alignment
+        (keeps the cold init path off the device entirely)."""
         if not imu:
             return None
-        sd = np.float64
-        dts = np.asarray([b[0] for b in imu])
-        accs = np.asarray([b[1] for b in imu])
-        gyrs = np.asarray([b[2] for b in imu])
+        bg = np.zeros(3) if bg is None else np.asarray(bg, np.float64)
+        accs = np.asarray([b[1] for b in imu], np.float64)
+        gyrs = np.asarray([b[2] for b in imu], np.float64)
+        dts = np.asarray([b[0] for b in imu], np.float64)
         a0, g0 = start if start is not None else (accs[0], gyrs[0])
-        bg = np.zeros(3) if bg is None else bg
-        pre = preintegrate(
-            jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
-            jnp.asarray(a0), jnp.asarray(g0),
-            jnp.zeros(3, jnp.float64), jnp.asarray(bg),
-            self.cfg.imu_noise,
-        )
+
+        dp = np.zeros(3)
+        dq = np.array([1.0, 0, 0, 0])
+        dv = np.zeros(3)
+        jac_q_bg = np.zeros((3, 3))
+        sum_dt = 0.0
+        acc_p, gyr_p = np.asarray(a0, np.float64), np.asarray(g0, np.float64)
+        Jq = np.zeros((3, 3))  # d(theta)/d(bg) block, propagated as in F
+        for dt, acc_c, gyr_c in zip(dts, accs, gyrs):
+            un_acc_0 = hg.quat_to_mat(dq) @ acc_p
+            un_gyr = 0.5 * (gyr_p + gyr_c) - bg
+            dq_new = hg.quat_normalize(
+                hg.quat_mul(dq, np.concatenate([[1.0], 0.5 * un_gyr * dt]))
+            )
+            un_acc_1 = hg.quat_to_mat(dq_new) @ acc_c
+            un_acc = 0.5 * (un_acc_0 + un_acc_1)
+            dp = dp + dv * dt + 0.5 * un_acc * dt * dt
+            dv = dv + un_acc * dt
+            # F(3:6,3:6) = I - [w]x dt;  F(3:6,12:15) = -I dt
+            w = un_gyr
+            Wx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+            Jq = (np.eye(3) - Wx * dt) @ Jq - np.eye(3) * dt
+            dq = dq_new
+            sum_dt += dt
+            acc_p, gyr_p = acc_c, gyr_c
+
+        class _P:
+            pass
+
+        pre = _P()
+        pre.delta_p = dp
+        pre.delta_q = dq
+        pre.delta_v = dv
+        pre.sum_dt = sum_dt
+        jac = np.zeros((15, 15))
+        jac[3:6, 12:15] = Jq
+        pre.jacobian = jac
         return pre
 
     def _initial_structure(self):
         """estimator.cpp:221-363 initialStructure."""
-        ric = np.asarray(geom.quat_to_mat(jnp.asarray(self.qic)))
+        ric = hg.quat_to_mat(self.qic)
         # 1. relative pose pivot.
         rel = None
         for i in range(WINDOW):
@@ -581,7 +613,7 @@ class Estimator:
         ki = 0
         for fr in self.all_frames:
             if ki < NFRAMES and abs(fr["t"] - self.headers[ki]) < 1e-9:
-                R_wc = np.asarray(geom.quat_to_mat(jnp.asarray(q_sfm[ki])))
+                R_wc = hg.quat_to_mat(q_sfm[ki])
                 fr["R"] = R_wc @ ric.T
                 fr["T"] = T_sfm[ki]
                 fr["is_key"] = True
@@ -647,12 +679,10 @@ class Estimator:
             return False
 
         # 5. visualInitialAlign (estimator.cpp:367-443).
+        kf = [f for f in self.all_frames if f["is_key"]]
         for i in range(NFRAMES):
-            kf = [f for f in self.all_frames if f["is_key"]]
             self.Ps[i] = kf[i]["T"]
-            self.Qs[i] = np.asarray(
-                geom.mat_to_quat(jnp.asarray(np.asarray(kf[i]["R"])))
-            )
+            self.Qs[i] = hg.mat_to_quat(np.asarray(kf[i]["R"]))
         self.Bgs[:] = self.Bgs + dbg
 
         s = float(x[-1])
@@ -670,7 +700,7 @@ class Estimator:
         self.fm.depth[used] = 1.0 / np.maximum(inv_d[used], 1e-6)
 
         # Rescale: Ps = s*Ps - Rs*tic - (s*Ps0 - Rs0*tic); depths *= s.
-        R0s = [np.asarray(geom.quat_to_mat(jnp.asarray(self.Qs[i]))) for i in range(NFRAMES)]
+        R0s = [hg.quat_to_mat(self.Qs[i]) for i in range(NFRAMES)]
         base = s * self.Ps[0] - R0s[0] @ self.tic
         for i in range(NFRAMES - 1, -1, -1):
             self.Ps[i] = s * self.Ps[i] - R0s[i] @ self.tic - base
@@ -682,17 +712,13 @@ class Estimator:
         self.fm.depth[used] *= s
 
         # Gravity alignment: rotate world so g -> (0,0,g_norm), yaw(R0)=0.
-        R0 = np.asarray(geom.g2R(jnp.asarray(g_vis)))
-        yaw = float(
-            np.asarray(geom.R_to_ypr_deg(jnp.asarray(R0 @ R0s[0])))[0]
-        )
-        R0 = np.asarray(
-            geom.ypr_deg_to_R(jnp.asarray([-yaw, 0.0, 0.0]))
-        ) @ R0
+        R0 = hg.g2R(g_vis)
+        yaw = float(hg.R_to_ypr_deg(R0 @ R0s[0])[0])
+        R0 = hg.ypr_deg_to_R([-yaw, 0.0, 0.0]) @ R0
         self.gravity = R0 @ g_vis
         for i in range(NFRAMES):
             Ri = R0 @ R0s[i]
             self.Ps[i] = R0 @ self.Ps[i]
             self.Vs[i] = R0 @ self.Vs[i]
-            self.Qs[i] = np.asarray(geom.mat_to_quat(jnp.asarray(Ri)))
+            self.Qs[i] = hg.mat_to_quat(Ri)
         return True

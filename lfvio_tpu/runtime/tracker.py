@@ -4,13 +4,17 @@ The device-side equivalent of the feature_tracker node
 (/root/reference/feature_tracker/src/feature_tracker.cpp readImage pipeline +
 feature_tracker_node.cpp publishing): CLAHE → pyramid → pyramidal LK →
 border/RANSAC rejection → masked Shi-Tomasi refill → bearing lift + 3-D
-bearing velocities. Id/track-count bookkeeping stays on the host (numpy);
-all pixel work is jitted JAX on fixed-size slot arrays.
+bearing velocities.
+
+The whole per-frame device computation is ONE jitted call
+(``_step``): track + reject + detect + lift fused into a single XLA
+program, so a frame costs exactly one host→device image transfer and one
+device→host result transfer — essential when the TPU is reached over a
+network tunnel, and optimal on local chips too. Id/track-count bookkeeping
+stays on the host (numpy).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +61,7 @@ class FrontEnd:
             )
         else:
             self.static_mask = jnp.ones(image_size, bool)
+        self.static_mask_np = np.asarray(self.static_mask)
 
         # Host slot state.
         self.pos = np.zeros((self.N, 2), np.float64)
@@ -68,104 +73,128 @@ class FrontEnd:
         self.prev_bearing_by_id: dict = {}
         self.key = jax.random.PRNGKey(seed)
 
-        self._preprocess = jax.jit(self._preprocess_impl)
-        self._track = jax.jit(self._track_impl)
-        # Detect always selects max_cnt candidates (static shape — a varying
-        # n_new would recompile every frame); the host takes what it needs.
-        self._detect = jax.jit(self._detect_impl)
-        self._lift = jax.jit(self._lift_impl)
-        self._ransac = jax.jit(self._ransac_impl)
+        self._first = jax.jit(self._first_impl)
+        self._step = jax.jit(self._step_impl, static_argnames=("publish",))
 
     # ------------------------------------------------------------- device fns
-    def _preprocess_impl(self, img):
+    def _preprocess(self, img):
         img = img.astype(self.dtype)
         if self.equalize:
             img = clahe(img)
         return tuple(gaussian_pyramid(img, self.n_levels))
 
-    def _track_impl(self, pyr_prev, pyr_next, pts, valid):
-        return pyramidal_lk(list(pyr_prev), list(pyr_next), pts, valid, self.n_levels)
-
-    def _detect_impl(self, img, existing_pts, existing_valid):
-        resp = shi_tomasi_response(img)
-        return select_features(
-            resp, self.static_mask, existing_pts, existing_valid,
-            self.max_cnt, self.min_dist,
-        )
-
-    def _lift_impl(self, pts):
+    def _lift(self, pts):
         rays = self.camera.lift_projective(pts)
         return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
 
-    def _ransac_impl(self, key, b1, b2, valid):
-        return spherical_ransac_e(key, b1, b2, valid)
+    def _first_impl(self, img):
+        """First frame: preprocess + detect only."""
+        pyr = self._preprocess(img)
+        resp = shi_tomasi_response(pyr[0])
+        new_pts, new_ok = select_features(
+            resp, self.static_mask,
+            jnp.zeros((1, 2), self.dtype), jnp.zeros((1,), bool),
+            self.max_cnt, self.min_dist,
+        )
+        return pyr, new_pts, new_ok
+
+    def _step_impl(self, pyr_prev, img, pos, valid, key, publish: bool):
+        """Fused per-frame device step.
+
+        Returns (pyr_next, pts_next, status, bearings, new_pts, new_ok).
+        """
+        pyr = self._preprocess(img)
+        pts_next, ok = pyramidal_lk(
+            list(pyr_prev), list(pyr), pos, valid, self.n_levels
+        )
+        # Border containment (inBorder, BORDER_SIZE=1) + annulus mask.
+        b = float(self.border)
+        inb = (
+            (pts_next[:, 0] >= b) & (pts_next[:, 0] < self.W - b)
+            & (pts_next[:, 1] >= b) & (pts_next[:, 1] < self.H - b)
+        )
+        ix = jnp.clip(pts_next[:, 0].astype(jnp.int32), 0, self.W - 1)
+        iy = jnp.clip(pts_next[:, 1].astype(jnp.int32), 0, self.H - 1)
+        status = ok & inb & self.static_mask[iy, ix]
+
+        if publish:
+            # Spherical RANSAC on prev vs cur bearings (rejectWithF).
+            b_prev = self._lift(pos)
+            b_cur = self._lift(pts_next)
+            _, inl = spherical_ransac_e(key, b_prev, b_cur, status)
+            enough = jnp.sum(status) >= 8
+            status = jnp.where(enough, status & inl, status)
+
+            # Refill detection on the masked response (uses post-reject pts).
+            resp = shi_tomasi_response(pyr[0])
+            new_pts, new_ok = select_features(
+                resp, self.static_mask, pts_next, status,
+                self.max_cnt, self.min_dist,
+            )
+        else:
+            new_pts = jnp.zeros((self.max_cnt, 2), self.dtype)
+            new_ok = jnp.zeros((self.max_cnt,), bool)
+
+        bearings = self._lift(pts_next)
+        new_bearings = self._lift(new_pts)
+        return pyr, pts_next, status, bearings, new_pts, new_ok, new_bearings
 
     # ----------------------------------------------------------------- frame
     def process(self, img: np.ndarray, t: float, publish: bool = True):
         """Run one frame. Returns dict id -> (bearing3, vel3, row) for
         features with track_cnt > 1 (the reference publishes only those,
         feature_tracker_node.cpp:113-179), or None when publish=False."""
-        pyr = self._preprocess(jnp.asarray(img))
+        img_dev = jnp.asarray(img)
         valid = self.ids >= 0
 
-        if self.prev_pyr is not None and valid.any():
-            pts_next, status = self._track(
-                self.prev_pyr, pyr,
+        if self.prev_pyr is None:
+            pyr, new_pts, new_ok = self._first(img_dev)
+            new_pts = np.asarray(new_pts, np.float64)
+            new_ok = np.asarray(new_ok)
+            bearings_new = None
+            k = 0
+            for i in np.where(new_ok)[0]:
+                if k >= self.N:
+                    break
+                self.pos[k] = new_pts[i]
+                self.ids[k] = self.next_id
+                self.next_id += 1
+                self.track_cnt[k] = 1
+                k += 1
+            self.prev_pyr = pyr
+            self.prev_time = t
+            self.prev_bearing_by_id = {}
+            return None
+
+        self.key, sub = jax.random.split(self.key)
+        pyr, pts_next, status, bearings, new_pts, new_ok, new_bearings = (
+            self._step(
+                self.prev_pyr, img_dev,
                 jnp.asarray(self.pos, self.dtype), jnp.asarray(valid),
+                sub, publish=publish,
             )
-            pts_next = np.asarray(pts_next, np.float64)
-            status = np.asarray(status) & valid
-            # Border rejection (inBorder, feature_tracker_node BORDER_SIZE=1).
-            b = self.border
-            inb = (
-                (pts_next[:, 0] >= b) & (pts_next[:, 0] < self.W - b)
-                & (pts_next[:, 1] >= b) & (pts_next[:, 1] < self.H - b)
-            )
-            status &= inb
-            # Static-mask containment (annulus).
-            if True:
-                ix = np.clip(pts_next[:, 0].astype(int), 0, self.W - 1)
-                iy = np.clip(pts_next[:, 1].astype(int), 0, self.H - 1)
-                status &= np.asarray(self.static_mask)[iy, ix]
+        )
+        pts_next = np.asarray(pts_next, np.float64)
+        status = np.asarray(status) & valid
+        bearings = np.asarray(bearings, np.float64)
+        new_pts = np.asarray(new_pts, np.float64)
+        new_ok = np.asarray(new_ok)
+        new_bearings = np.asarray(new_bearings, np.float64)
 
-            # Spherical RANSAC outlier rejection (rejectWithF) on the slots
-            # that survived, using prev vs cur bearings.
-            if publish and status.sum() >= 8:
-                b_prev = np.asarray(
-                    self._lift(jnp.asarray(self.pos, self.dtype))
-                )
-                b_cur = np.asarray(self._lift(jnp.asarray(pts_next, self.dtype)))
-                self.key, sub = jax.random.split(self.key)
-                _, inl = self._ransac(
-                    sub,
-                    jnp.asarray(b_prev, self.dtype),
-                    jnp.asarray(b_cur, self.dtype),
-                    jnp.asarray(status),
-                )
-                status &= np.asarray(inl)
-
-            # Free failed slots.
-            for s in np.where(valid & ~status)[0]:
-                self.ids[s] = -1
-                self.track_cnt[s] = 0
-            self.pos[status] = pts_next[status]
-            valid = self.ids >= 0
-
+        # Free failed slots; advance survivors.
+        for s in np.where(valid & ~status)[0]:
+            self.ids[s] = -1
+            self.track_cnt[s] = 0
+        self.pos[status] = pts_next[status]
+        valid = self.ids >= 0
         self.track_cnt[valid] += 1
 
-        feats = None
+        slot_bearing = {s: bearings[s] for s in np.where(valid)[0]}
+
         if publish:
-            # Refill with new detections on the masked response.
             n_alive = int(valid.sum())
             n_new = min(self.max_cnt - n_alive, self.N - n_alive)
             if n_new > 0:
-                new_pts, new_ok = self._detect(
-                    pyr[0],
-                    jnp.asarray(self.pos, self.dtype),
-                    jnp.asarray(valid),
-                )
-                new_pts = np.asarray(new_pts, np.float64)
-                new_ok = np.asarray(new_ok)
                 free = np.where(~valid)[0]
                 k = 0
                 for i in np.where(new_ok)[0][:n_new]:
@@ -177,29 +206,23 @@ class FrontEnd:
                     self.ids[s] = self.next_id
                     self.next_id += 1
                     self.track_cnt[s] = 1
+                    slot_bearing[s] = new_bearings[i]
                 valid = self.ids >= 0
 
-        # Bearings + velocities for all live tracks.
-        bearings = np.asarray(self._lift(jnp.asarray(self.pos, self.dtype)))
+        # Velocities from previous-frame bearings by id.
         dt = (t - self.prev_time) if self.prev_time is not None else None
         cur_map = {}
-        vel = np.zeros((self.N, 3))
+        feats = {} if publish else None
         for s in np.where(valid)[0]:
             fid = int(self.ids[s])
-            cur_map[fid] = bearings[s]
-            if dt and fid in self.prev_bearing_by_id:
-                vel[s] = (bearings[s] - self.prev_bearing_by_id[fid]) / dt
-
-        feats = None
-        if publish:
-            feats = {
-                int(self.ids[s]): (
-                    bearings[s].copy(),
-                    vel[s].copy(),
-                    float(self.pos[s, 1]),  # row for rolling shutter
-                )
-                for s in np.where(valid & (self.track_cnt > 1))[0]
-            }
+            bb = slot_bearing[s]
+            cur_map[fid] = bb
+            if publish and self.track_cnt[s] > 1:
+                if dt and fid in self.prev_bearing_by_id:
+                    vel = (bb - self.prev_bearing_by_id[fid]) / dt
+                else:
+                    vel = np.zeros(3)
+                feats[fid] = (bb.copy(), vel, float(self.pos[s, 1]))
 
         self.prev_pyr = pyr
         self.prev_time = t

@@ -45,10 +45,9 @@ def _quat_to_mat(q):
 
 
 def _mat_to_quat(R):
-    import jax.numpy as jnp
-    from .. import geom
+    from ..geom import host as hg
 
-    return np.asarray(geom.mat_to_quat(jnp.asarray(R)))
+    return hg.mat_to_quat(np.asarray(R, np.float64))
 
 
 def _quat_mul(q, p):
@@ -63,18 +62,28 @@ def _quat_conj(q):
     return q * np.array([1.0, -1, -1, -1])
 
 
-def solve_gyroscope_bias(frames: list[AlignFrame]):
-    """LS gyro bias from SfM relative rotations (initial_aligment.cpp:3-36).
+def solve_gyroscope_bias(frames: list[AlignFrame], n_irls: int = 3):
+    """LS gyro bias from SfM relative rotations (initial_aligment.cpp:3-36),
+    robustified with Huber IRLS — SfM rotations from real tracking contain
+    occasional gross errors that a plain LS would absorb into the bias.
     Returns delta_bg [3]."""
-    A = np.zeros((3, 3))
-    b = np.zeros(3)
+    rows_A, rows_b = [], []
     for fi, fj in zip(frames[:-1], frames[1:]):
         q_ij = _mat_to_quat(fi.R.T @ fj.R)
-        tmp_A = fj.jac_q_bg
-        tmp_b = 2.0 * _quat_mul(_quat_conj(fj.delta_q), q_ij)[1:]
-        A += tmp_A.T @ tmp_A
-        b += tmp_A.T @ tmp_b
-    return np.linalg.solve(A, b)
+        rows_A.append(fj.jac_q_bg)
+        rows_b.append(2.0 * _quat_mul(_quat_conj(fj.delta_q), q_ij)[1:])
+    rows_A = np.asarray(rows_A)
+    rows_b = np.asarray(rows_b)
+    dbg = np.zeros(3)
+    huber = 0.02  # ~1.1 deg rotation disagreement
+    for _ in range(n_irls):
+        r = rows_b - rows_A @ dbg
+        rn = np.linalg.norm(r, axis=-1)
+        w = np.where(rn <= huber, 1.0, huber / np.maximum(rn, 1e-12))
+        A = np.einsum("n,nij,nik->jk", w, rows_A, rows_A)
+        b = np.einsum("n,nij,ni->j", w, rows_A, rows_b)
+        dbg = np.linalg.solve(A + 1e-12 * np.eye(3), b)
+    return dbg
 
 
 def _tangent_basis(g0):

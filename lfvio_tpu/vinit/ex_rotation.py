@@ -43,17 +43,15 @@ def _skew(v):
 
 
 def _mat_to_quat(R):
-    import jax.numpy as jnp
-    from .. import geom
+    from ..geom import host as hg
 
-    return np.asarray(geom.mat_to_quat(jnp.asarray(R)))
+    return hg.mat_to_quat(np.asarray(R, np.float64))
 
 
 def _quat_to_mat(q):
-    import jax.numpy as jnp
-    from .. import geom
+    from ..geom import host as hg
 
-    return np.asarray(geom.quat_to_mat(jnp.asarray(q)))
+    return hg.quat_to_mat(np.asarray(q, np.float64))
 
 
 class ExtrinsicRotationCalibrator:

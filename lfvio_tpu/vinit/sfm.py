@@ -123,18 +123,18 @@ def global_sfm(n_frames, l, relative_R, relative_T, observations):
         return False, None, None, None
 
     # Convert to world-from-camera (reference's q/T output).
-    import jax.numpy as jnp
+    from ..geom import host as hg
 
     q_out = np.zeros((n_frames, 4))
     T_out = np.zeros((n_frames, 3))
     for i in range(n_frames):
         R_wc = R_cw[i].T
-        q_out[i] = np.asarray(geom.mat_to_quat(jnp.asarray(R_wc)))
+        q_out[i] = hg.mat_to_quat(R_wc)
         T_out[i] = -R_wc @ t_cw[i]
     return True, q_out, T_out, points
 
 
-def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=15,
+def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=24,
                    huber=3e-3):
     """Damped GN bundle adjustment on tangent-plane bearing residuals with
     the reference's gauge: pose l fixed, translation of frame n-1 fixed.
@@ -235,7 +235,7 @@ def _bundle_adjust(R_cw, t_cw, points, observations, l, n_frames, n_iters=15,
             lam = max(lam * 0.3, 1e-9)
         else:
             lam = min(lam * 10, 1e5)
-        if it == n_iters // 2:
+        if it in (n_iters // 3, 2 * n_iters // 3):
             # Mid-run pruning: drop gross outliers (> ~3 px equivalent) and
             # re-linearize; they are tracking failures, not geometry.
             n_drop = 0

@@ -117,3 +117,39 @@ def test_quat_from_two_vectors():
     np.testing.assert_allclose(
         geom.quat_rotate(qa, jnp.asarray([1.0, 0, 0])), [-1, 0, 0], atol=1e-9
     )
+
+
+def test_host_geom_parity():
+    """numpy host mirrors must match the jnp geometry core."""
+    from lfvio_tpu.geom import host as hg
+
+    rng = np.random.default_rng(9)
+    for _ in range(20):
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        p = rng.standard_normal(4)
+        p /= np.linalg.norm(p)
+        th = rng.standard_normal(3) * 0.7
+        np.testing.assert_allclose(
+            hg.quat_mul(q, p), geom.quat_mul(jnp.asarray(q), jnp.asarray(p)), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            hg.quat_to_mat(q), geom.quat_to_mat(jnp.asarray(q)), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            hg.so3_exp(th), geom.so3_exp(jnp.asarray(th)), atol=1e-12
+        )
+        R = np.asarray(geom.quat_to_mat(jnp.asarray(q)))
+        qq = hg.mat_to_quat(R)
+        np.testing.assert_allclose(hg.quat_to_mat(qq), R, atol=1e-10)
+        np.testing.assert_allclose(
+            hg.R_to_ypr_deg(R), geom.R_to_ypr_deg(jnp.asarray(R)), atol=1e-9
+        )
+        ypr = rng.uniform(-80, 80, 3)
+        np.testing.assert_allclose(
+            hg.ypr_deg_to_R(ypr), geom.ypr_deg_to_R(jnp.asarray(ypr)), atol=1e-12
+        )
+        g = rng.standard_normal(3)
+        np.testing.assert_allclose(
+            hg.g2R(g), geom.g2R(jnp.asarray(g)), atol=1e-9
+        )

@@ -19,14 +19,20 @@ from .estimator import Estimator, EstimatorConfig
 
 class VioPipeline:
     def __init__(self, frontend: FrontEnd, estimator: Estimator, freq: float = 0.0,
-                 td: float = 0.0):
+                 td: float = 0.0, on_odometry=None):
         self.fe = frontend
         self.est = estimator
         self.freq = freq  # max publish rate; 0 = publish every frame
         self.td = td  # camera-IMU time offset applied when pairing
+        self.on_odometry = on_odometry  # callback(t, p, q, v) at IMU rate
         self._last_pub_t = -1e18
         self._last_imu = None  # (t, acc, gyr)
         self._pending = []  # frames waiting for a covering IMU sample
+        # High-rate IMU-propagated state (estimator_node.cpp predict/update):
+        # the low-latency output between the ~10 Hz solver updates.
+        self._recent_imu = []  # samples since the last solved frame
+        self._tmp = None  # (P, Q, V, Ba, Bg, acc0, gyr0, t0)
+        self.high_rate = []  # list of (t, p[3], q[4], v[3])
 
     # ------------------------------------------------------------------ feed
     def feed_imu(self, t, acc, gyr):
@@ -48,9 +54,63 @@ class VioPipeline:
         dt = 0.0 if prev is None else t - prev[0]
         self.est.process_imu(dt, acc, gyr)
         self._last_imu = (t, acc, gyr)
+        self._recent_imu.append((t, acc.copy(), gyr.copy()))
+        self._predict(t, acc, gyr)
 
     def feed_frame(self, t, img):
         self._pending.append((t, img))
+
+    # ---------------------------------------------------------- high-rate out
+    def _predict(self, t, acc, gyr):
+        """Midpoint propagation of the temporary high-rate state — the ~IMU
+        rate odometry path (estimator_node.cpp:41-77, pubLatestOdometry)."""
+        if self._tmp is None or self.est.solver_flag != self.est.NON_LINEAR:
+            return
+        P, Q, V, Ba, Bg, acc0, gyr0, t0 = self._tmp
+        dt = t - t0
+        if dt <= 0:
+            return
+        g = np.array([0.0, 0.0, self.est.cfg.g_norm])
+        from ..geom import host as hg
+
+        un_acc_0 = hg.quat_to_mat(Q) @ (acc0 - Ba) - g
+        un_gyr = 0.5 * (gyr0 + gyr) - Bg
+        Q = hg.quat_normalize(hg.quat_mul(Q, hg.so3_exp(un_gyr * dt)))
+        un_acc_1 = hg.quat_to_mat(Q) @ (acc - Ba) - g
+        un_acc = 0.5 * (un_acc_0 + un_acc_1)
+        P = P + dt * V + 0.5 * dt * dt * un_acc
+        V = V + dt * un_acc
+        self._tmp = (P, Q, V, Ba, Bg, acc, gyr, t)
+        self.high_rate.append((t, P.copy(), Q.copy(), V.copy()))
+        if self.on_odometry is not None:
+            self.on_odometry(t, P, Q, V)
+
+    def _update_tmp_state(self, t_frame):
+        """Re-seed the high-rate state from the freshly solved window and
+        re-propagate IMU samples newer than the frame
+        (estimator_node.cpp:79-94 update())."""
+        est = self.est
+        if est.solver_flag != est.NON_LINEAR or not est.times:
+            self._tmp = None
+            return
+        from ..backend.state import WINDOW
+
+        P = est.Ps[WINDOW].copy()
+        Q = est.Qs[WINDOW].copy()
+        V = est.Vs[WINDOW].copy()
+        Ba = est.Bas[WINDOW].copy()
+        Bg = est.Bgs[WINDOW].copy()
+        remaining = [s for s in self._recent_imu if s[0] > t_frame]
+        acc0 = remaining[0][1] if remaining else est.acc_0.copy()
+        gyr0 = remaining[0][2] if remaining else est.gyr_0.copy()
+        self._tmp = (P, Q, V, Ba, Bg, acc0, gyr0, t_frame)
+        for t, acc, gyr in remaining:
+            # re-propagate without re-publishing
+            hold = self.on_odometry, self.high_rate
+            self.on_odometry, self.high_rate = None, []
+            self._predict(t, acc, gyr)
+            self.on_odometry, self.high_rate = hold
+        self._recent_imu = remaining
 
     def _process_frame(self, t, img):
         publish = True
@@ -60,6 +120,7 @@ class VioPipeline:
         if publish and feats is not None and len(feats) > 0:
             self._last_pub_t = t
             self.est.process_image(feats, t)
+            self._update_tmp_state(t + self.td)
 
     def run(self, stream, render_fn):
         for item in stream:

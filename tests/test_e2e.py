@@ -65,3 +65,37 @@ def test_e2e_vio_ate(world):
     ate, n = ate_rmse(times, traj_p, times, gt_p)
     assert np.isfinite(ate)
     assert ate < 1.2, f"ATE {ate:.3f} m too large"  # round-1 bound; tightening tracked
+
+
+def test_high_rate_odometry(world):
+    """IMU-rate propagated odometry between solver updates
+    (estimator_node.cpp predict/update): published at ~IMU rate once
+    NON_LINEAR, and staying near the solved trajectory."""
+    fe = FrontEnd(
+        world.camera, (world.height, world.width),
+        max_cnt=120, min_dist=15, n_slots=160,
+        annulus=(world.width / 2, world.height / 2, SYN_MAX_R, SYN_MIN_R),
+        equalize=False, dtype=jnp.float32,
+    )
+    est = Estimator(EstimatorConfig(n_feature_slots=256, solver_dtype=jnp.float64))
+    seen = []
+    pipe = VioPipeline(fe, est, on_odometry=lambda t, p, q, v: seen.append(t))
+    stream = world.generate(duration=6.0, frame_rate=15.0, imu_rate=200.0)
+    times, traj_p, traj_q = pipe.run(stream, lambda t: world.render(t))
+    assert est.solver_flag == est.NON_LINEAR
+
+    hr = pipe.high_rate
+    assert len(hr) > 100, len(hr)
+    assert len(seen) == len(hr)
+    t_hr = np.asarray([h[0] for h in hr])
+    # High-rate output is denser than the solver output.
+    assert len(hr) > 3 * len(times)
+    # Strictly increasing timestamps.
+    assert (np.diff(t_hr) > 0).all()
+    # Propagated positions stay near ground truth (bounded drift between
+    # solver updates; alignment-free check against the solved trajectory).
+    err = []
+    for t, p, q, v in hr[::10]:
+        k = np.argmin(np.abs(np.asarray(times) - t))
+        err.append(np.linalg.norm(p - traj_p[k]))
+    assert np.median(err) < 0.5, np.median(err)

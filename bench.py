@@ -58,10 +58,16 @@ def main():
     stream = world.generate(duration, frame_rate, imu_rate)
 
     # Pre-render all frames (dataset IO is not part of the benchmark).
+    # uint8, as a real camera driver would hand them over (4x smaller
+    # host->device transfer than f32; conversion happens on device).
     frames = {}
     for item in stream:
         if item[0] == "frame":
-            frames[item[1]] = world.render(item[1]).astype(np.float32)
+            img = world.render(item[1])
+            peak = max(float(img.max()), 1e-9)
+            frames[item[1]] = np.clip(
+                img * (255.0 / peak), 0.0, 255.0
+            ).astype(np.uint8)
 
     fe = FrontEnd(
         cam, (H, W), max_cnt=200, min_dist=20, n_slots=256,

@@ -6,4 +6,10 @@ from .factors import (
     cauchy_corrector,
 )
 from .solver import build_normal_equations, lm_solve, apply_delta
-from .marginalize import marginalize_old, marginalize_second_new
+from .marginalize import (
+    marginalize_old,
+    marginalize_second_new,
+    marginalize_old_qr,
+    marginalize_second_new_qr,
+)
+from .gauge import yaw_gauge_fix

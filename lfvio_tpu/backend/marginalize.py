@@ -21,6 +21,8 @@ host offload (SURVEY.md §7 hard part #1).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +35,11 @@ from .state import (
     pose_off,
     sb_off,
 )
-from .solver import assemble_normal_equations
+from .solver import (
+    assemble_normal_equations,
+    linearize_proj_rows,
+    linearize_imu_rows,
+)
 from .factors import prior_residual, state_box_minus
 
 EPS = 1e-8  # reference eigenvalue threshold (marginalization_factor.h eps)
@@ -176,6 +182,169 @@ def marginalize_old(
     J, r = _shift_prior_blocks(J, r, n_frames)
     x0 = _shift_state_snapshot(state)
     return PriorFactor.from_state(J, r, x0)
+
+
+# --------------------------------------------------------------------------
+# Square-root (QR) marginalization — the production TPU path.
+#
+# The eigh-based functions above mirror the reference's H-space Schur
+# elimination; they are precision-hungry because forming H = JᵀJ squares the
+# condition number (needs f64). The QR formulation below works directly on
+# the stacked whitened Jacobian rows: column-order the system
+# [dropped | kept | r], take the R factor of a Householder QR, and the rows
+# below the dropped block ARE the marginal square-root prior on the kept
+# variables — no eigendecomposition, no H, f32-safe (κ(A) = √κ(H)). The
+# elimination is exact even when the dropped block is rank-deficient (the
+# gauge directions): QR never divides by a pivot.
+# --------------------------------------------------------------------------
+
+
+def _keep_drop_indices(n_frames: int):
+    """Static (numpy) kept/dropped column indices for MARGIN_OLD."""
+    import numpy as onp
+
+    D = pose_dim(n_frames)
+    drop = onp.asarray(_drop_idx_old(n_frames), onp.int64)
+    keep_mask = onp.ones(D, bool)
+    keep_mask[drop] = False
+    keep = onp.nonzero(keep_mask)[0]
+    return drop, keep
+
+
+def marginalize_old_qr(
+    state: WindowState,
+    grid: FeatureGrid,
+    pre0,
+    sqrt_info_imu0,
+    imu0_valid,
+    prior: PriorFactor,
+    gravity,
+    cfg: SolverConfig,
+):
+    """MARGIN_OLD via QR on stacked whitened rows (f32-safe device path).
+
+    Same factor set as marginalize_old: old prior + IMU(0,1) + projection
+    factors anchored at frame 0; drops {pose0, speedbias0, anchored inverse
+    depths}; returns the new PriorFactor re-indexed for the slid window.
+    """
+    n_frames = state.p.shape[0]
+    dtype = state.p.dtype
+    F, W1 = grid.valid.shape
+    D = pose_dim(n_frames)
+
+    grid0 = FeatureGrid(
+        bearing=grid.bearing,
+        velocity=grid.velocity,
+        td_obs=grid.td_obs,
+        valid=grid.valid,
+        anchor=grid.anchor,
+        used=grid.used & (grid.anchor == 0),
+    )
+    imu_valid = jnp.zeros_like(imu0_valid).at[0].set(imu0_valid[0])
+
+    res_w, Jfull, J_lam, _, _ = linearize_proj_rows(state, grid0, cfg)
+    imu_res, Jimu, _ = linearize_imu_rows(
+        state, pre0, sqrt_info_imu0, imu_valid, gravity
+    )
+    rp = prior_residual(state, prior)
+    Jp = jnp.where(prior.valid, prior.J, jnp.zeros_like(prior.J))
+
+    R1 = F * W1 * 2
+    W = W1 - 1
+    # Depth columns: row (f, j, a) touches depth col f only.
+    eyeF = jnp.eye(F, dtype=dtype)
+    dep_rows = jnp.einsum("fja,fg->fjag", J_lam, eyeF).reshape(R1, F)
+
+    A_pose = jnp.concatenate(
+        [Jfull.reshape(R1, D), Jimu, Jp], axis=0
+    )  # [R, D]
+    A_dep = jnp.concatenate(
+        [dep_rows, jnp.zeros((W * 15 + D, F), dtype)], axis=0
+    )  # [R, F]
+    r = jnp.concatenate(
+        [res_w.reshape(R1), imu_res.reshape(W * 15), rp]
+    )  # [R]
+
+    drop, keep = _keep_drop_indices(n_frames)
+    A = jnp.concatenate(
+        [A_pose[:, drop], A_dep, A_pose[:, keep], r[:, None]], axis=1
+    )  # [R, 15 + F + K + 1]
+    m = len(drop) + F
+    K = len(keep)
+    Rfac = jnp.linalg.qr(A, mode="r")
+    Jk = Rfac[m : m + K, m : m + K]
+    rk = Rfac[m : m + K, m + K]
+
+    ok = jnp.isfinite(Jk).all() & jnp.isfinite(rk).all()
+    Jk = jnp.where(ok, Jk, 0.0)
+    rk = jnp.where(ok, rk, 0.0)
+
+    J = jnp.zeros((D, D), dtype).at[jnp.ix_(jnp.asarray(keep), jnp.asarray(keep))].set(Jk)
+    r0 = jnp.zeros((D,), dtype).at[jnp.asarray(keep)].set(rk)
+    J, r0 = _shift_prior_blocks(J, r0, n_frames)
+    x0 = _shift_state_snapshot(state)
+    new_prior = PriorFactor.from_state(J, r0, x0)
+    return dataclasses.replace(new_prior, valid=ok)
+
+
+def marginalize_second_new_qr(state: WindowState, prior: PriorFactor, cfg: SolverConfig):
+    """MARGIN_SECOND_NEW via QR: the prior is the only participating factor
+    (estimator.cpp:949-1005); drop pose[W-1] and re-index for the
+    merge-second-newest slide. Output .valid is False when the input prior
+    carries no information."""
+    import numpy as onp
+
+    n_frames = prior.x0_p.shape[0]
+    D = pose_dim(n_frames)
+    dtype = prior.J.dtype
+
+    rp = prior_residual(state, prior)
+    J0 = jnp.where(prior.valid, prior.J, jnp.zeros_like(prior.J))
+
+    drop = onp.arange(pose_off(n_frames - 2), pose_off(n_frames - 2) + 6)
+    keep_mask = onp.ones(D, bool)
+    keep_mask[drop] = False
+    keep = onp.nonzero(keep_mask)[0]
+    K = len(keep)
+
+    A = jnp.concatenate([J0[:, drop], J0[:, keep], rp[:, None]], axis=1)
+    Rfac = jnp.linalg.qr(A, mode="r")
+    Jk = Rfac[6 : 6 + K, 6 : 6 + K]
+    rk = Rfac[6 : 6 + K, 6 + K]
+    ok = prior.valid & jnp.isfinite(Jk).all() & jnp.isfinite(rk).all()
+    Jk = jnp.where(ok, Jk, 0.0)
+    rk = jnp.where(ok, rk, 0.0)
+
+    J = jnp.zeros((D, D), dtype).at[jnp.ix_(jnp.asarray(keep), jnp.asarray(keep))].set(Jk)
+    r0 = jnp.zeros((D,), dtype).at[jnp.asarray(keep)].set(rk)
+
+    # Slide: slots 0..W-2 unchanged; slot W-1 takes slot W's columns.
+    perm = []
+    for k in range(n_frames):
+        src = k if k < n_frames - 2 else n_frames - 1  # W-1 <- W, W <- W (dead)
+        perm.extend(range(pose_off(src), pose_off(src) + 6))
+    for k in range(n_frames):
+        src = k if k < n_frames - 2 else n_frames - 1
+        perm.extend(range(sb_off(src, n_frames), sb_off(src, n_frames) + 9))
+    perm.extend(range(15 * n_frames, D))
+    perm = jnp.asarray(perm)
+    J = J[:, perm]
+    J = J.at[:, pose_off(n_frames - 1) : pose_off(n_frames - 1) + 6].set(0.0)
+    J = J.at[
+        :, sb_off(n_frames - 1, n_frames) : sb_off(n_frames - 1, n_frames) + 9
+    ].set(0.0)
+
+    def merge(a):
+        return a.at[n_frames - 2].set(a[n_frames - 1])
+
+    x0 = WindowState(
+        p=merge(state.p), q=merge(state.q), v=merge(state.v),
+        ba=merge(state.ba), bg=merge(state.bg),
+        tic=state.tic, qic=state.qic, td=state.td,
+        inv_depth=state.inv_depth,
+    )
+    new_prior = PriorFactor.from_state(J, r0, x0)
+    return dataclasses.replace(new_prior, valid=ok)
 
 
 def marginalize_second_new(state: WindowState, prior: PriorFactor, cfg: SolverConfig):

@@ -151,17 +151,18 @@ def linearize_projection(state: WindowState, grid: FeatureGrid, cfg: SolverConfi
     return res, J20, valid, w
 
 
-def assemble_normal_equations(
-    state, grid, pre, sqrt_info_imu, imu_valid, prior, gravity, cfg
-):
-    """Build (H_pp, H_pl, H_ll, b_p, b_l, cost) for the current linearization."""
+def linearize_proj_rows(state: WindowState, grid: FeatureGrid, cfg: SolverConfig):
+    """Whitened, robust-weighted projection rows in the full local layout.
+
+    Returns (res_w [F,W1,2], Jfull [F,W1,2,D], J_lam [F,W1,2], valid [F,W1],
+    cost) where Jfull covers the D pose-layout columns and J_lam the
+    per-feature inverse-depth column. Shared by the normal-equation assembly
+    and the square-root (QR) marginalization.
+    """
     dtype = state.p.dtype
     F, W1 = grid.valid.shape
-    n_frames = W1
-    D = pose_dim(n_frames)
-    W = W1 - 1
+    D = pose_dim(W1)
 
-    # ----- projection factors ------------------------------------------------
     res, J20, valid, w = linearize_projection(state, grid, cfg)
     # Robust cost (Cauchy rho) before weighting.
     sq = jnp.sum(res * res, axis=-1)
@@ -188,21 +189,21 @@ def assemble_normal_equations(
         "fjac,fk->fjakc", J_pi, onehot
     )
     Jpose = Jpose.reshape(F, W1, 2, 6 * W1)
-    zeros_sb = jnp.zeros((F, W1, 2, 9 * n_frames), dtype)
+    zeros_sb = jnp.zeros((F, W1, 2, 9 * W1), dtype)
     Jfull = jnp.concatenate(
         [Jpose, zeros_sb, J_ex, J_td[..., None]], axis=-1
     )  # [F, W1, 2, D]
+    return res_w, Jfull, J_lam, valid, cost_proj
 
-    R = F * W1 * 2
-    Jmat = Jfull.reshape(R, D)
-    rvec = res_w.reshape(R)
-    H_pp = Jmat.T @ Jmat
-    b_p = Jmat.T @ rvec
-    H_pl = jnp.einsum("fjad,fja->df", Jfull, J_lam)  # [D, F]
-    H_ll = jnp.einsum("fja,fja->f", J_lam, J_lam)  # [F]
-    b_l = jnp.einsum("fja,fja->f", J_lam, res_w)  # [F]
 
-    # ----- IMU factors -------------------------------------------------------
+def linearize_imu_rows(state: WindowState, pre, sqrt_info_imu, imu_valid, gravity):
+    """Whitened IMU factor rows in the full local layout.
+
+    Returns (imu_res [W,15], Jimu [W*15, D], cost)."""
+    dtype = state.p.dtype
+    W1 = state.p.shape[0]
+    W = W1 - 1
+    D = pose_dim(W1)
     zero30 = jnp.zeros((30,), dtype)
 
     def imu_both(pre_k, si, p0, q0, v0, ba0, bg0, p1, q1, v1, ba1, bg1):
@@ -220,6 +221,7 @@ def assemble_normal_equations(
     imu_J30 = jnp.where(imu_valid[:, None, None], imu_J30, 0.0)
     cost_imu = 0.5 * jnp.sum(imu_res * imu_res)
 
+    eyeW = jnp.eye(W1, dtype=dtype)
     eye_i = eyeW[:W]  # interval w -> frame w
     eye_j = eyeW[1:]  # interval w -> frame w+1
     Jp = jnp.einsum("wrc,wk->wrkc", imu_J30[..., 0:6], eye_i) + jnp.einsum(
@@ -231,11 +233,38 @@ def assemble_normal_equations(
     Jimu = jnp.concatenate(
         [
             Jp.reshape(W, 15, 6 * W1),
-            Jsb.reshape(W, 15, 9 * n_frames),
+            Jsb.reshape(W, 15, 9 * W1),
             jnp.zeros((W, 15, 7), dtype),
         ],
         axis=-1,
     ).reshape(W * 15, D)
+    return imu_res, Jimu, cost_imu
+
+
+def assemble_normal_equations(
+    state, grid, pre, sqrt_info_imu, imu_valid, prior, gravity, cfg
+):
+    """Build (H_pp, H_pl, H_ll, b_p, b_l, cost) for the current linearization."""
+    F, W1 = grid.valid.shape
+    D = pose_dim(W1)
+    W = W1 - 1
+
+    # ----- projection factors ------------------------------------------------
+    res_w, Jfull, J_lam, valid, cost_proj = linearize_proj_rows(state, grid, cfg)
+
+    R = F * W1 * 2
+    Jmat = Jfull.reshape(R, D)
+    rvec = res_w.reshape(R)
+    H_pp = Jmat.T @ Jmat
+    b_p = Jmat.T @ rvec
+    H_pl = jnp.einsum("fjad,fja->df", Jfull, J_lam)  # [D, F]
+    H_ll = jnp.einsum("fja,fja->f", J_lam, J_lam)  # [F]
+    b_l = jnp.einsum("fja,fja->f", J_lam, res_w)  # [F]
+
+    # ----- IMU factors -------------------------------------------------------
+    imu_res, Jimu, cost_imu = linearize_imu_rows(
+        state, pre, sqrt_info_imu, imu_valid, gravity
+    )
     rimu = imu_res.reshape(W * 15)
     H_pp = H_pp + Jimu.T @ Jimu
     b_p = b_p + Jimu.T @ rimu

@@ -4,6 +4,7 @@ from .preintegration import (
     preintegrate,
     bias_corrected_delta,
     imu_residual,
+    whiten_covariance,
     propagate_state_midpoint,
     O_P,
     O_R,

@@ -234,6 +234,36 @@ def imu_residual(pre: Preintegration, p_i, q_i, v_i, ba_i, bg_i, p_j, q_j, v_j, 
     return jnp.concatenate([r_p, r_q, r_v, ba_j - ba_i, bg_j - bg_i], axis=-1)
 
 
+def whiten_covariance(cov, valid):
+    """Batched whitening of preintegration covariances — device, f32-safe.
+
+    Computes S with SᵀS = cov⁻¹ via a diagonally-scaled Cholesky: cov =
+    D·C·D with D = diag(√diag cov); S = chol(C)⁻¹·D⁻¹. Scaling keeps the
+    Cholesky operating on a unit-diagonal correlation matrix, so f32 handles
+    the ~1e7 dynamic range of raw covariances (reference whitens in f64 via
+    LLT of cov⁻¹, imu_factor.h:64-66 — equivalent cost up to an orthogonal
+    rotation of the residual).
+
+    Args: cov [..., 15, 15], valid [...] bool.
+    Returns (sqrt_info [..., 15, 15], ok [...] bool) — zeroed/False where the
+    factorization failed or the interval was invalid.
+    """
+    dtype = cov.dtype
+    n = cov.shape[-1]
+    eye = jnp.eye(n, dtype=dtype)
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(cov, axis1=-2, axis2=-1), 1e-24, None))
+    dinv = 1.0 / d
+    corr = cov * dinv[..., :, None] * dinv[..., None, :] + 1e-6 * eye
+    corr = jnp.where(valid[..., None, None], corr, eye)
+    L = jnp.linalg.cholesky(corr)
+    Linv = jax.scipy.linalg.solve_triangular(L, jnp.broadcast_to(eye, L.shape), lower=True)
+    S = Linv * dinv[..., None, :]
+    ok = valid & jnp.isfinite(S).all(axis=(-2, -1))
+    S = jnp.where(ok[..., None, None], S, 0.0)
+    return S, ok
+
+
 def propagate_state_midpoint(p, q, v, acc_0, gyr_0, acc_1, gyr_1, dt, ba, bg, gravity):
     """World-frame midpoint propagation of (p, q, v) through one IMU sample —
     the high-rate prediction path and window-state update

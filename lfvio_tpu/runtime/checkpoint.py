@@ -71,6 +71,9 @@ def load_checkpoint(path: str, est):
     fm.td_obs[:] = z["fm_td"]; fm.valid[:] = z["fm_valid"]
     fm.anchor[:] = z["fm_anchor"]; fm.feature_id[:] = z["fm_id"]
     fm.depth[:] = z["fm_depth"]
+    fm._id2slot = {
+        int(fid): int(s) for s, fid in enumerate(fm.feature_id) if fid >= 0
+    }
     counts = z["imu_counts"]; flat = z["imu_flat"]
     est.imu_buf = []
     k = 0

@@ -25,17 +25,18 @@ import numpy as np
 
 from .. import geom
 from ..geom import host as hg
-from ..imu import ImuNoise, preintegrate
+from ..imu import ImuNoise, preintegrate, whiten_covariance
 from ..backend import (
     WindowState,
     FeatureGrid,
     PriorFactor,
     SolverConfig,
     lm_solve,
+    yaw_gauge_fix,
 )
 from ..backend.state import WINDOW, NFRAMES, pose_dim
 from ..backend.triangulate import triangulate_grid
-from ..backend.marginalize import marginalize_old, marginalize_second_new
+from ..backend.marginalize import marginalize_old_qr, marginalize_second_new_qr
 from ..vinit import solve_relative_rt, global_sfm, visual_imu_alignment
 from ..vinit.alignment import AlignFrame
 from .feature_manager import HostFeatureManager
@@ -75,21 +76,13 @@ class Estimator:
         dt = cfg.solver_dtype
         self.gravity = None  # set after init (g in world frame = [0,0,g_norm])
 
-        # Jitted device functions.
-        self._preint_batch = jax.jit(jax.vmap(
-            lambda dts, accs, gyrs, a0, g0, ba, bg: preintegrate(
-                dts, accs, gyrs, a0, g0, ba, bg, cfg.imu_noise
-            )
-        ))
-        self._solve = jax.jit(self._solve_impl)
-        self._residuals = jax.jit(self._residuals_impl)
-        cpu = jax.devices("cpu")[0]
-        self._marg_old = jax.jit(
-            partial(marginalize_old, cfg=self.scfg), device=cpu
-        )
-        self._marg_new = jax.jit(
-            partial(marginalize_second_new, cfg=self.scfg), device=cpu
-        )
+        # Jitted device functions: ONE fused call per frame (two marg
+        # variants). Everything device-side happens inside — preintegration,
+        # whitening, triangulation, the LM solve, the yaw-gauge fix, and the
+        # square-root QR marginalization. The prior never leaves the device.
+        self._step_old = jax.jit(partial(self._frame_step_impl, True))
+        self._step_new = jax.jit(partial(self._frame_step_impl, False))
+        self._triangulate = jax.jit(triangulate_grid)
 
     # ------------------------------------------------------------------ state
     def clear_state(self):
@@ -153,42 +146,54 @@ class Estimator:
         self.acc_0, self.gyr_0 = acc, gyr
 
     # ------------------------------------------------------------- device fns
-    def _solve_impl(self, state, grid, pre, sqrt_info, imu_valid, prior, has_depth):
-        gravity = jnp.asarray(
-            [0.0, 0.0, self.cfg.g_norm], self.cfg.solver_dtype
-        )
-        inv_d = triangulate_grid(state, grid, has_depth)
-        state = dataclasses.replace(state, inv_depth=inv_d)
-        out, c0, c1, hist = lm_solve(
-            state, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg
-        )
-        return out, c0, c1
+    def _frame_step_impl(
+        self, marg_old: bool,
+        state, grid, dts, accs, gyrs, a0, g0, imu_valid_in,
+        prior, has_depth, origin_p0, origin_q0,
+    ):
+        """The fused per-frame device program (jitted once per marg mode).
 
-    def _residuals_impl(self, state, grid):
+        Covers the reference's solveOdometry + double2vector + the
+        marginalization block (estimator.cpp:475-515, 532-626, 832-1005) in a
+        single XLA computation: no intermediate host round trips.
+        """
         from ..backend.factors import projection_residuals_grid
 
-        res, valid = projection_residuals_grid(
-            state, grid, jnp.asarray(self.scfg.proj_sqrt_info, state.p.dtype)
+        cfg = self.cfg
+        sd = cfg.solver_dtype
+        gravity = jnp.asarray([0.0, 0.0, cfg.g_norm], sd)
+
+        # Preintegrate all window intervals at the current start-frame biases
+        # (= repropagate every frame; the functional form makes this free of
+        # the reference's bias-drift bookkeeping, integration_base.h:38-52).
+        pre = jax.vmap(
+            lambda d, ac, gy, a_0, g_0, ba, bg: preintegrate(
+                d, ac, gy, a_0, g_0, ba, bg, cfg.imu_noise
+            )
+        )(dts, accs, gyrs, a0, g0, state.ba[:-1], state.bg[:-1])
+        sqrt_info, imu_valid = whiten_covariance(pre.covariance, imu_valid_in)
+
+        inv_d = triangulate_grid(state, grid, has_depth)
+        state = dataclasses.replace(state, inv_depth=inv_d)
+        out, c0, c1, _ = lm_solve(
+            state, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg
         )
-        return jnp.linalg.norm(res, axis=-1), valid
+        out = yaw_gauge_fix(out, origin_p0, origin_q0)
+
+        res, rvalid = projection_residuals_grid(
+            out, grid, jnp.asarray(self.scfg.proj_sqrt_info, sd)
+        )
+        rn = jnp.linalg.norm(res, axis=-1)
+
+        if marg_old:
+            new_prior = marginalize_old_qr(
+                out, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg
+            )
+        else:
+            new_prior = marginalize_second_new_qr(out, prior, self.scfg)
+        return out, new_prior, rn, rvalid, c0, c1
 
     # ----------------------------------------------------------- preint build
-    def _padded_interval(self, buf, ba, bg):
-        """Pad one interval's samples to max_imu_per_interval."""
-        M = self.cfg.max_imu_per_interval
-        n = min(len(buf), M)
-        dts = np.zeros(M)
-        accs = np.zeros((M, 3))
-        gyrs = np.zeros((M, 3))
-        if n > 0:
-            dts[:n] = [b[0] for b in buf[:n]]
-            accs[:n] = [b[1] for b in buf[:n]]
-            gyrs[:n] = [b[2] for b in buf[:n]]
-            a0, g0 = buf[0][1], buf[0][2]  # first sample approximates start
-        else:
-            a0, g0 = np.zeros(3), np.zeros(3)
-        return dts, accs, gyrs, a0, g0, ba, bg
-
     def _interval_start_sample(self, i):
         """Sample at the interval start = last sample of previous interval
         (the reference seeds IntegrationBase with acc_0/gyr_0 carried over)."""
@@ -197,54 +202,33 @@ class Estimator:
                 return self.imu_buf[k][-1][1], self.imu_buf[k][-1][2]
         return None
 
-    def _build_window_preint(self):
+    def _padded_window_arrays(self):
+        """Numpy-stacked padded IMU sample arrays for the whole window —
+        everything the device preintegration needs, no device work here."""
         W1 = NFRAMES
-        dt_list, acc_list, gyr_list, a0l, g0l, bal, bgl, valid = (
-            [], [], [], [], [], [], [], []
-        )
+        M = self.cfg.max_imu_per_interval
+        W = W1 - 1
+        dts = np.zeros((W, M))
+        accs = np.zeros((W, M, 3))
+        gyrs = np.zeros((W, M, 3))
+        a0l = np.zeros((W, 3))
+        g0l = np.zeros((W, 3))
+        valid = np.zeros(W, bool)
         for i in range(1, W1):
             buf = self.imu_buf[i]
-            dts, accs, gyrs, a0, g0, _, _ = self._padded_interval(
-                buf, self.Bas[i - 1], self.Bgs[i - 1]
-            )
+            k = i - 1
+            n = min(len(buf), M)
+            if n > 0:
+                dts[k, :n] = [b[0] for b in buf[:n]]
+                accs[k, :n] = [b[1] for b in buf[:n]]
+                gyrs[k, :n] = [b[2] for b in buf[:n]]
+                a0l[k], g0l[k] = buf[0][1], buf[0][2]
             start = self._interval_start_sample(i)
             if start is not None:
-                a0, g0 = start
-            dt_list.append(dts)
-            acc_list.append(accs)
-            gyr_list.append(gyrs)
-            a0l.append(a0)
-            g0l.append(g0)
-            bal.append(self.Bas[i - 1])
-            bgl.append(self.Bgs[i - 1])
+                a0l[k], g0l[k] = start
             sum_dt = sum(b[0] for b in buf)
-            valid.append(len(buf) > 0 and sum_dt < 10.0)
-        sd = self.cfg.solver_dtype
-        pre = self._preint_batch(
-            jnp.asarray(np.stack(dt_list), sd),
-            jnp.asarray(np.stack(acc_list), sd),
-            jnp.asarray(np.stack(gyr_list), sd),
-            jnp.asarray(np.stack(a0l), sd),
-            jnp.asarray(np.stack(g0l), sd),
-            jnp.asarray(np.stack(bal), sd),
-            jnp.asarray(np.stack(bgl), sd),
-        )
-        # Whitening on host in f64 (precision-critical tiny matrices).
-        covs = np.asarray(pre.covariance, np.float64)
-        sqrt_infos = np.zeros_like(covs)
-        for i in range(covs.shape[0]):
-            if valid[i]:
-                try:
-                    si = np.linalg.cholesky(np.linalg.inv(covs[i])).T
-                    # Whitening must stay finite and sane; a (near-)singular
-                    # covariance (too-short interval) would blow the system.
-                    if np.isfinite(si).all() and np.abs(si).max() < 1e9:
-                        sqrt_infos[i] = si
-                    else:
-                        valid[i] = False
-                except np.linalg.LinAlgError:
-                    valid[i] = False
-        return pre, jnp.asarray(sqrt_infos, sd), jnp.asarray(np.asarray(valid))
+            valid[k] = len(buf) > 0 and sum_dt < 10.0
+        return dts, accs, gyrs, a0l, g0l, valid
 
     # ---------------------------------------------------------------- helpers
     def _device_state(self, dtype=None):
@@ -280,28 +264,37 @@ class Estimator:
         return PriorFactor.empty(dtype=dtype or self.cfg.solver_dtype)
 
     # ------------------------------------------------------------------ frame
-    def process_image(self, feats: dict, t: float):
-        """Estimator::processImage (estimator.cpp:122-220).
+    def process_image_arrays(self, ids, bearings, vels, rows, mask, t: float):
+        """Estimator::processImage (estimator.cpp:122-220), array interface.
 
-        feats: id -> (bearing3, vel3, row) from FrontEnd.process.
+        ids/bearings/vels/rows: per-slot arrays from FrontEnd.process_arrays;
+        mask selects the published observations.
         """
         cfg = self.cfg
-        # td_obs per observation: current td estimate (no rolling shutter yet).
-        feats_fm = {
-            fid: (np.asarray(b), np.asarray(v), self.td)
-            for fid, (b, v, _row) in feats.items()
-        }
-        is_keyframe = self.fm.add_frame(self.frame_count, feats_fm, cfg.min_parallax)
+        sel = np.where(np.asarray(mask))[0]
+        ids_s = np.asarray(ids)[sel]
+        b_s = np.asarray(bearings)[sel]
+        v_s = np.asarray(vels)[sel]
+        # td_obs per observation: current td estimate (rolling-shutter row
+        # term folded in by the caller when TR != 0).
+        tds = np.full(len(sel), self.td)
+        is_keyframe = self.fm.add_frame_arrays(
+            self.frame_count, ids_s, b_s, v_s, tds, cfg.min_parallax
+        )
         self.marg_old = is_keyframe  # True -> MARGIN_OLD
 
         self.headers[self.frame_count] = t
-        self.all_frames.append(
-            dict(t=t, feats={f: v[0] for f, v in feats_fm.items()},
-                 imu=list(self.tmp_imu_buf), is_key=False,
-                 imu_start=(self.tmp_start[0].copy(), self.tmp_start[1].copy())
-                 if getattr(self, "tmp_start", None) is not None
-                 else None)
-        )
+        if self.solver_flag == self.INITIAL:
+            # all_frames feeds the one-shot SfM/alignment bootstrap only.
+            self.all_frames.append(
+                dict(t=t, feats={int(f): b for f, b in zip(ids_s, b_s)},
+                     imu=list(self.tmp_imu_buf), is_key=False,
+                     imu_start=(self.tmp_start[0].copy(), self.tmp_start[1].copy())
+                     if getattr(self, "tmp_start", None) is not None
+                     else None)
+            )
+        else:
+            self.all_frames = []
         self.tmp_imu_buf = []
         self.tmp_start = (self.acc_0.copy(), self.gyr_0.copy())
 
@@ -343,6 +336,23 @@ class Estimator:
             self.last_R0 = hg.quat_to_mat(self.Qs[0])
             self.last_P0 = self.Ps[0].copy()
 
+    def process_image(self, feats: dict, t: float):
+        """Dict-interface wrapper: feats id -> (bearing3, vel3, row)."""
+        n = len(feats)
+        ids = np.fromiter(feats.keys(), np.int64, count=n)
+        bearings = (
+            np.stack([np.asarray(v[0]) for v in feats.values()])
+            if n else np.zeros((0, 3))
+        )
+        vels = (
+            np.stack([np.asarray(v[1]) for v in feats.values()])
+            if n else np.zeros((0, 3))
+        )
+        rows = np.asarray([v[2] for v in feats.values()])
+        return self.process_image_arrays(
+            ids, bearings, vels, rows, np.ones(n, bool), t
+        )
+
     def _record_output(self, t):
         self.times.append(t)
         self.traj_p.append(self.Ps[WINDOW].copy())
@@ -352,25 +362,39 @@ class Estimator:
     def _solve_odometry(self):
         if self.frame_count < WINDOW:
             return
-        pre, sqrt_info, imu_valid = self._build_window_preint()
+        sd = self.cfg.solver_dtype
+        dts, accs, gyrs, a0l, g0l, imu_valid = self._padded_window_arrays()
         state = self._device_state()
         grid = self._device_grid()
         prior = self.prior if self.prior is not None else self._empty_prior()
-        sd = self.cfg.solver_dtype
-        prior = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, sd)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-            else jnp.asarray(x),
-            prior,
-        )
         has_depth = jnp.asarray(self.fm.depth > 0)
-        out, c0, c1 = self._solve(
-            state, grid, pre, sqrt_info, imu_valid, prior, has_depth
+
+        # Gauge-fix origin: pre-solve frame 0 (or the last good pose after a
+        # detected failure, estimator.cpp:536-547).
+        if self.failure_occur:
+            origin_p0 = self.last_P0
+            origin_q0 = hg.mat_to_quat(self.last_R0)
+            self.failure_occur = False
+        else:
+            origin_p0, origin_q0 = self.Ps[0], self.Qs[0]
+
+        step = self._step_old if self.marg_old else self._step_new
+        out, new_prior, rn, rvalid, c0, c1 = step(
+            state, grid,
+            jnp.asarray(dts, sd), jnp.asarray(accs, sd), jnp.asarray(gyrs, sd),
+            jnp.asarray(a0l, sd), jnp.asarray(g0l, sd), jnp.asarray(imu_valid),
+            prior, has_depth,
+            jnp.asarray(origin_p0, sd), jnp.asarray(origin_q0, sd),
         )
-        self._write_back(out)
-        self._gate_observations(out, grid)
-        # Marginalization for the upcoming slide.
-        self._marginalize(pre, sqrt_info, imu_valid)
+        # The prior stays device-resident; only the window state comes back.
+        self.prior = new_prior
+        host = jax.device_get(
+            (out.p, out.q, out.v, out.ba, out.bg,
+             out.tic, out.qic, out.td, out.inv_depth)
+        )
+        self._write_back(*host)
+        if self.GATE_THRESH < 1e8:
+            self._gate_observations(np.asarray(rn), np.asarray(rvalid))
 
     # Reprojection gate: observations with residuals beyond this (sqrt_info
     # units, 1 px ~ 0.667) could be dropped post-solve. A/B on the synthetic
@@ -381,10 +405,7 @@ class Estimator:
     # loss already bounds outlier influence.
     GATE_THRESH = 1e9
 
-    def _gate_observations(self, out: WindowState, grid):
-        rn, valid = self._residuals(out, grid)
-        rn = np.asarray(rn, np.float64)
-        valid = np.asarray(valid)
+    def _gate_observations(self, rn, valid):
         bad = valid & (rn > self.GATE_THRESH)
         if not bad.any():
             return
@@ -402,76 +423,24 @@ class Estimator:
                 fm.anchor[f] = first
                 fm.depth[f] = -1.0
 
-    def _write_back(self, out: WindowState):
-        """double2vector (estimator.cpp:532-626): re-anchor yaw & position of
-        frame 0 to their pre-solve values (4-DoF gauge fix), then copy."""
-        origin_R0 = hg.R_to_ypr_deg(hg.quat_to_mat(self.Qs[0]))
-        origin_P0 = self.Ps[0].copy()
-        if self.failure_occur:
-            origin_R0 = hg.R_to_ypr_deg(self.last_R0)
-            origin_P0 = self.last_P0.copy()
-            self.failure_occur = False
-
-        q_new = np.asarray(out.q, np.float64)
-        p_new = np.asarray(out.p, np.float64)
-        R00 = hg.quat_to_mat(q_new[0])
-        new_ypr0 = hg.R_to_ypr_deg(R00)
-        y_diff = origin_R0[0] - new_ypr0[0]
-        rot_diff = hg.ypr_deg_to_R([y_diff, 0.0, 0.0])
-        if abs(abs(origin_R0[1]) - 90) < 1.0 or abs(abs(new_ypr0[1]) - 90) < 1.0:
-            # Euler singularity: full rotation re-anchor.
-            R0_old = hg.quat_to_mat(self.Qs[0])
-            rot_diff = R0_old @ R00.T
-
-        v_new = np.asarray(out.v, np.float64)
-        for i in range(NFRAMES):
-            Rfix = rot_diff @ hg.quat_to_mat(q_new[i])
-            self.Qs[i] = hg.mat_to_quat(Rfix)
-            self.Ps[i] = rot_diff @ (p_new[i] - p_new[0]) + origin_P0
-            self.Vs[i] = rot_diff @ v_new[i]
-        self.Bas = np.asarray(out.ba, np.float64).copy()
-        self.Bgs = np.asarray(out.bg, np.float64).copy()
+    def _write_back(self, p, q, v, ba, bg, tic, qic, td, inv_depth):
+        """Copy the solved (already gauge-fixed on device) window back into
+        the host mirrors. The 4-DoF yaw fix itself runs inside the fused
+        device step (backend/gauge.py)."""
+        self.Ps[:] = np.asarray(p, np.float64)
+        self.Qs[:] = np.asarray(q, np.float64)
+        self.Vs[:] = np.asarray(v, np.float64)
+        self.Bas = np.asarray(ba, np.float64).copy()
+        self.Bgs = np.asarray(bg, np.float64).copy()
         if self.cfg.estimate_extrinsic:
-            self.tic = np.asarray(out.tic, np.float64).copy()
-            self.qic = np.asarray(out.qic, np.float64).copy()
+            self.tic = np.asarray(tic, np.float64).copy()
+            self.qic = np.asarray(qic, np.float64).copy()
         if self.cfg.estimate_td:
-            self.td = float(out.td)
+            self.td = float(td)
         # Depths.
-        inv_d = np.asarray(out.inv_depth, np.float64)
+        inv_d = np.asarray(inv_depth, np.float64)
         used = np.asarray(self.fm.used_mask())
         self.fm.mark_solved_depths(inv_d, used)
-
-    def _marginalize(self, pre, sqrt_info, imu_valid):
-        """Build the new prior (estimator.cpp:832-1005) on CPU in f64."""
-        f64 = jnp.float64
-        state = self._device_state(f64)
-        prior = (
-            self.prior
-            if self.prior is not None
-            else self._empty_prior(f64)
-        )
-        prior = jax.tree_util.tree_map(lambda x: jnp.asarray(x, f64)
-                                       if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, prior)
-        if self.marg_old:
-            grid = self._device_grid(f64)
-            pre64 = jax.tree_util.tree_map(lambda x: jnp.asarray(x, f64), pre)
-            new_prior = self._marg_old(
-                state, grid, pre64,
-                jnp.asarray(np.asarray(sqrt_info), f64), imu_valid, prior,
-                jnp.asarray([0.0, 0.0, self.cfg.g_norm], f64),
-            )
-        else:
-            if not bool(np.asarray(prior.valid)):
-                return
-            new_prior = self._marg_new(state, prior)
-        # A corrupted prior would silently poison every following solve;
-        # drop it (fall back to prior-less operation) instead.
-        J = np.asarray(new_prior.J)
-        r0 = np.asarray(new_prior.r0)
-        if not (np.isfinite(J).all() and np.isfinite(r0).all()):
-            self.prior = None
-            return
-        self.prior = new_prior
 
     # ------------------------------------------------------------------ slide
     def _slide_window(self):
@@ -687,14 +656,13 @@ class Estimator:
 
         s = float(x[-1])
         # Reset depths & triangulate at unscaled poses with tic=0.
+        sd = self.cfg.solver_dtype
         self.fm.depth[:] = -1.0
-        state_tmp = self._device_state(jnp.float64)
-        state_tmp = dataclasses.replace(
-            state_tmp, tic=jnp.zeros(3, jnp.float64)
-        )
-        grid = self._device_grid(jnp.float64)
+        state_tmp = self._device_state()
+        state_tmp = dataclasses.replace(state_tmp, tic=jnp.zeros(3, sd))
+        grid = self._device_grid()
         inv_d = np.asarray(
-            triangulate_grid(state_tmp, grid, jnp.zeros(grid.used.shape, bool))
+            self._triangulate(state_tmp, grid, jnp.zeros(grid.used.shape, bool))
         )
         used = np.asarray(grid.used)
         self.fm.depth[used] = 1.0 / np.maximum(inv_d[used], 1e-6)

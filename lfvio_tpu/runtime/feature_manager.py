@@ -4,7 +4,9 @@ Replaces the reference's FeatureManager
 (/root/reference/vins_estimator/src/feature_manager.{h,cpp}): per-id C++
 lists become fixed-slot numpy arrays mirroring the device FeatureGrid. The
 host owns id allocation, window sliding, parallax keyframe logic, and depth
-re-anchoring; the device consumes the dense grid.
+re-anchoring; the device consumes the dense grid. All per-frame operations
+are vectorized numpy (no Python loops over slots) — the id→slot map is an
+incrementally-maintained dict touched only on allocation/free.
 
 Conventions match the reference:
   * keyframe test: mean angular parallax acos(p_i·p_j)*10 over features seen
@@ -33,31 +35,42 @@ class HostFeatureManager:
         self.feature_id = np.full(n_slots, -1, np.int64)
         self.depth = np.full(n_slots, -1.0)  # ray depth at anchor; <0 = unknown
         self.last_track_num = 0
+        self._id2slot: dict = {}
 
     # ------------------------------------------------------------------ add
-    def add_frame(self, frame_idx: int, feats: dict, min_parallax: float) -> bool:
-        """Insert features for the frame at window slot frame_idx.
+    def add_frame_arrays(
+        self, frame_idx: int, ids, bearings, vels, tds, min_parallax: float
+    ) -> bool:
+        """Insert the frame's published features (parallel arrays) at window
+        slot frame_idx. Returns True if the *previous* frame should be
+        treated as a keyframe (MARGIN_OLD)."""
+        ids = np.asarray(ids, np.int64)
+        n = len(ids)
+        slots = np.fromiter(
+            (self._id2slot.get(int(i), -1) for i in ids), np.int64, count=n
+        )
+        tracked = slots >= 0
+        self.last_track_num = int(tracked.sum())
 
-        feats: id -> (bearing3, velocity3, td_obs). Returns True if the
-        *previous* frame should be treated as a keyframe (MARGIN_OLD).
-        """
-        id_to_slot = {fid: s for s, fid in enumerate(self.feature_id) if fid >= 0}
-        self.last_track_num = 0
-        for fid, (b, v, td) in feats.items():
-            s = id_to_slot.get(fid)
-            if s is None:
-                s = self._alloc_slot()
-                if s is None:
-                    continue  # out of slots; drop (reference caps at NUM_OF_F)
-                self.feature_id[s] = fid
-                self.anchor[s] = frame_idx
-                self.depth[s] = -1.0
-            else:
-                self.last_track_num += 1
-            self.bearing[s, frame_idx] = b
-            self.velocity[s, frame_idx] = v
-            self.td_obs[s, frame_idx] = td
-            self.valid[s, frame_idx] = True
+        # Allocate slots for new ids (drop overflow, reference caps NUM_OF_F).
+        new_src = np.where(~tracked)[0]
+        free = np.where(self.feature_id < 0)[0]
+        k = min(len(free), len(new_src))
+        new_src = new_src[:k]
+        new_slots = free[:k]
+        if k:
+            self.feature_id[new_slots] = ids[new_src]
+            self.anchor[new_slots] = frame_idx
+            self.depth[new_slots] = -1.0
+            for s, fid in zip(new_slots, ids[new_src]):
+                self._id2slot[int(fid)] = int(s)
+
+        src = np.concatenate([np.where(tracked)[0], new_src])
+        dst = np.concatenate([slots[tracked], new_slots]).astype(np.int64)
+        self.bearing[dst, frame_idx] = np.asarray(bearings)[src]
+        self.velocity[dst, frame_idx] = np.asarray(vels)[src]
+        self.td_obs[dst, frame_idx] = np.asarray(tds)[src]
+        self.valid[dst, frame_idx] = True
 
         if frame_idx < 2 or self.last_track_num < 20:
             return True
@@ -77,9 +90,21 @@ class HostFeatureManager:
         parallax = np.arccos(dots) * 10.0
         return float(parallax.mean()) >= min_parallax
 
-    def _alloc_slot(self):
-        free = np.where(self.feature_id < 0)[0]
-        return int(free[0]) if len(free) else None
+    def add_frame(self, frame_idx: int, feats: dict, min_parallax: float) -> bool:
+        """Dict-interface wrapper (id -> (bearing3, velocity3, td_obs))."""
+        if feats:
+            ids = np.fromiter(feats.keys(), np.int64, count=len(feats))
+            bearings = np.stack([v[0] for v in feats.values()])
+            vels = np.stack([v[1] for v in feats.values()])
+            tds = np.asarray([v[2] for v in feats.values()])
+        else:
+            ids = np.zeros(0, np.int64)
+            bearings = np.zeros((0, 3))
+            vels = np.zeros((0, 3))
+            tds = np.zeros(0)
+        return self.add_frame_arrays(
+            frame_idx, ids, bearings, vels, tds, min_parallax
+        )
 
     # ----------------------------------------------------------------- query
     def used_mask(self):
@@ -94,11 +119,9 @@ class HostFeatureManager:
         return self.bearing[m, fi], self.bearing[m, fj], self.feature_id[m]
 
     def observations_dict(self):
-        """feature_id -> [(frame, bearing)] for SfM."""
+        """feature_id -> [(frame, bearing)] for SfM (init-time only)."""
         out = {}
-        for s in range(self.F):
-            if self.feature_id[s] < 0:
-                continue
+        for s in np.where(self.feature_id >= 0)[0]:
             obs = [
                 (int(j), self.bearing[s, j].copy())
                 for j in range(self.W1)
@@ -117,24 +140,19 @@ class HostFeatureManager:
         marg_R/marg_P: camera pose of the dropped frame; new_R/new_P: camera
         pose of the new frame 0.
         """
-        anchored0 = (self.feature_id >= 0) & (self.anchor == 0)
-        for s in np.where(anchored0)[0]:
-            if not self.valid[s, 0]:
-                self.anchor[s] = 0  # defensive; shouldn't happen
-                continue
-            uv = self.bearing[s, 0]
-            dep = self.depth[s]
-            n_remaining = self.valid[s, 1:].sum()
-            if n_remaining < 2:
-                self._free(s)
-                continue
-            if dep > 0:
-                pts = uv * dep
-                w_pts = marg_R @ pts + marg_P
-                pts_j = new_R.T @ (w_pts - new_P)
-                dj = np.linalg.norm(pts_j)
-                self.depth[s] = dj if dj > 0 else INIT_DEPTH
-            # anchor moves to the first remaining observation
+        live = self.feature_id >= 0
+        anchored0 = live & (self.anchor == 0) & self.valid[:, 0]
+        n_remaining = self.valid[:, 1:].sum(1)
+        self._free_mask(anchored0 & (n_remaining < 2))
+
+        reanchor = anchored0 & (n_remaining >= 2) & (self.depth > 0)
+        if reanchor.any():
+            pts = self.bearing[reanchor, 0] * self.depth[reanchor, None]
+            w_pts = pts @ np.asarray(marg_R).T + np.asarray(marg_P)
+            pts_j = (w_pts - np.asarray(new_P)) @ np.asarray(new_R)
+            dj = np.linalg.norm(pts_j, axis=-1)
+            self.depth[reanchor] = np.where(dj > 0, dj, INIT_DEPTH)
+
         # Shift all windows left by one.
         self.bearing[:, :-1] = self.bearing[:, 1:]
         self.velocity[:, :-1] = self.velocity[:, 1:]
@@ -144,57 +162,57 @@ class HostFeatureManager:
         self.bearing[:, -1] = 0.0
         live = self.feature_id >= 0
         self.anchor[live] = np.maximum(self.anchor[live] - 1, 0)
-        # Features anchored at a now-invalid first obs: move anchor forward.
-        for s in np.where(live)[0]:
-            if not self.valid[s].any():
-                self._free(s)
-                continue
-            first = int(np.argmax(self.valid[s]))
-            if first != self.anchor[s]:
-                self.anchor[s] = first
-                self.depth[s] = -1.0  # re-triangulate at the new anchor
+        # Dead or re-anchored features after the shift.
+        any_valid = self.valid.any(1)
+        self._free_mask(live & ~any_valid)
+        live = self.feature_id >= 0
+        first = np.argmax(self.valid, axis=1)
+        moved = live & (first != self.anchor)
+        self.anchor[moved] = first[moved]
+        self.depth[moved] = -1.0  # re-triangulate at the new anchor
 
     def slide_second_new(self, frame_count: int):
         """MARGIN_SECOND_NEW: remove the observation at frame_count-1 and
         pull the newest frame's observation into its place (removeFront)."""
         j = frame_count - 1
-        live = self.feature_id >= 0
-        # Newest column moves into slot j.
         self.bearing[:, j] = self.bearing[:, frame_count]
         self.velocity[:, j] = self.velocity[:, frame_count]
         self.td_obs[:, j] = self.td_obs[:, frame_count]
         self.valid[:, j] = self.valid[:, frame_count]
         self.valid[:, frame_count] = False
-        for s in np.where(live)[0]:
-            if self.anchor[s] == frame_count:
-                self.anchor[s] = j
-            if not self.valid[s].any():
-                self._free(s)
+        live = self.feature_id >= 0
+        at_new = live & (self.anchor == frame_count)
+        self.anchor[at_new] = j
+        self._free_mask(live & ~self.valid.any(1))
 
     def remove_failures(self):
         """Drop features whose solved depth is negative (removeFailures)."""
         bad = (self.feature_id >= 0) & (self.depth < 0) & (self.depth > -0.5)
-        # depth == -1 means 'not yet triangulated', keep those; solved
-        # negative depths are stored as-is by the caller before this call.
-        for s in np.where(bad)[0]:
-            self._free(s)
+        self._free_mask(bad)
 
     def mark_solved_depths(self, inv_depth, used):
         """Write solver output back: depth = 1/inv_depth for used features;
         negative solutions flagged for removal (reference sets flag=2)."""
-        for s in np.where(used)[0]:
-            lam = float(inv_depth[s])
-            if lam != 0.0:
-                self.depth[s] = 1.0 / lam if lam > 0 else -0.1
-            if self.depth[s] < 0 and self.depth[s] > -0.5:
-                pass  # remove_failures() will free it
+        inv_depth = np.asarray(inv_depth)
+        pos = used & (inv_depth > 0)
+        neg = used & (inv_depth < 0)
+        self.depth[pos] = 1.0 / inv_depth[pos]
+        self.depth[neg] = -0.1
+
+    def _free_mask(self, mask):
+        idx = np.where(mask)[0]
+        if len(idx) == 0:
+            return
+        for s in idx:
+            self._id2slot.pop(int(self.feature_id[s]), None)
+        self.feature_id[idx] = -1
+        self.valid[idx] = False
+        self.depth[idx] = -1.0
+        self.bearing[idx] = 0.0
+        self.velocity[idx] = 0.0
 
     def _free(self, s):
-        self.feature_id[s] = -1
-        self.valid[s] = False
-        self.depth[s] = -1.0
-        self.bearing[s] = 0.0
-        self.velocity[s] = 0.0
+        self._free_mask(np.arange(self.F) == s)
 
     # ----------------------------------------------------------------- grid
     def device_grid_arrays(self):

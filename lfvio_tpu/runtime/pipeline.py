@@ -116,11 +116,13 @@ class VioPipeline:
         publish = True
         if self.freq > 0 and (t - self._last_pub_t) < 1.0 / self.freq:
             publish = False
-        feats = self.fe.process(np.asarray(img), t, publish=publish)
-        if publish and feats is not None and len(feats) > 0:
-            self._last_pub_t = t
-            self.est.process_image(feats, t)
-            self._update_tmp_state(t + self.td)
+        out = self.fe.process_arrays(np.asarray(img), t, publish=publish)
+        if publish and out is not None:
+            ids, bearings, vels, rows, pub = out
+            if pub.any():
+                self._last_pub_t = t
+                self.est.process_image_arrays(ids, bearings, vels, rows, pub, t)
+                self._update_tmp_state(t + self.td)
 
     def run(self, stream, render_fn):
         for item in stream:

@@ -70,7 +70,8 @@ class FrontEnd:
         self.next_id = 0
         self.prev_pyr = None
         self.prev_time = None
-        self.prev_bearing_by_id: dict = {}
+        self.prev_bearing = np.zeros((self.N, 3))
+        self.prev_has_bearing = np.zeros(self.N, bool)
         self.key = jax.random.PRNGKey(seed)
 
         self._first = jax.jit(self._first_impl)
@@ -78,6 +79,7 @@ class FrontEnd:
 
     # ------------------------------------------------------------- device fns
     def _preprocess(self, img):
+        # Accepts uint8 (preferred: 4x smaller host->device transfer) or float.
         img = img.astype(self.dtype)
         if self.equalize:
             img = clahe(img)
@@ -140,91 +142,105 @@ class FrontEnd:
         return pyr, pts_next, status, bearings, new_pts, new_ok, new_bearings
 
     # ----------------------------------------------------------------- frame
-    def process(self, img: np.ndarray, t: float, publish: bool = True):
-        """Run one frame. Returns dict id -> (bearing3, vel3, row) for
-        features with track_cnt > 1 (the reference publishes only those,
-        feature_tracker_node.cpp:113-179), or None when publish=False."""
+    def process_arrays(self, img: np.ndarray, t: float, publish: bool = True):
+        """Run one frame. Returns (ids [N], bearings [N,3], vels [N,3],
+        rows [N], pub_mask [N]) over the slot arrays — pub_mask selects the
+        features the reference would publish (track_cnt > 1,
+        feature_tracker_node.cpp:113-179) — or None on the first frame /
+        when publish=False.
+
+        Host bookkeeping is fully vectorized numpy; device work is one fused
+        jitted call and one batched device_get.
+        """
         img_dev = jnp.asarray(img)
         valid = self.ids >= 0
 
         if self.prev_pyr is None:
             pyr, new_pts, new_ok = self._first(img_dev)
-            new_pts = np.asarray(new_pts, np.float64)
-            new_ok = np.asarray(new_ok)
-            bearings_new = None
-            k = 0
-            for i in np.where(new_ok)[0]:
-                if k >= self.N:
-                    break
-                self.pos[k] = new_pts[i]
-                self.ids[k] = self.next_id
-                self.next_id += 1
-                self.track_cnt[k] = 1
-                k += 1
+            new_pts, new_ok = jax.device_get((new_pts, new_ok))
+            sel = np.where(new_ok)[0][: self.N]
+            k = len(sel)
+            self.pos[:k] = new_pts[sel]
+            self.ids[:k] = np.arange(self.next_id, self.next_id + k)
+            self.next_id += k
+            self.track_cnt[:k] = 1
             self.prev_pyr = pyr
             self.prev_time = t
-            self.prev_bearing_by_id = {}
+            self.prev_bearing = np.zeros((self.N, 3))
+            self.prev_has_bearing = np.zeros(self.N, bool)
             return None
 
         self.key, sub = jax.random.split(self.key)
-        pyr, pts_next, status, bearings, new_pts, new_ok, new_bearings = (
-            self._step(
-                self.prev_pyr, img_dev,
-                jnp.asarray(self.pos, self.dtype), jnp.asarray(valid),
-                sub, publish=publish,
-            )
+        outs = self._step(
+            self.prev_pyr, img_dev,
+            jnp.asarray(self.pos, self.dtype), jnp.asarray(valid),
+            sub, publish=publish,
         )
-        pts_next = np.asarray(pts_next, np.float64)
-        status = np.asarray(status) & valid
-        bearings = np.asarray(bearings, np.float64)
-        new_pts = np.asarray(new_pts, np.float64)
-        new_ok = np.asarray(new_ok)
-        new_bearings = np.asarray(new_bearings, np.float64)
+        pyr = outs[0]
+        pts_next, status, bearings, new_pts, new_ok, new_bearings = (
+            jax.device_get(outs[1:])
+        )
+        pts_next = pts_next.astype(np.float64)
+        status = status & valid
+        bearings = bearings.astype(np.float64)
 
-        # Free failed slots; advance survivors.
-        for s in np.where(valid & ~status)[0]:
-            self.ids[s] = -1
-            self.track_cnt[s] = 0
+        # Free failed slots; advance survivors (vectorized).
+        failed = valid & ~status
+        self.ids[failed] = -1
+        self.track_cnt[failed] = 0
+        self.prev_has_bearing[failed] = False
         self.pos[status] = pts_next[status]
         valid = self.ids >= 0
         self.track_cnt[valid] += 1
 
-        slot_bearing = {s: bearings[s] for s in np.where(valid)[0]}
+        cur_bearing = np.where(valid[:, None], bearings, 0.0)
+        has_prev = self.prev_has_bearing & valid
 
         if publish:
             n_alive = int(valid.sum())
             n_new = min(self.max_cnt - n_alive, self.N - n_alive)
             if n_new > 0:
                 free = np.where(~valid)[0]
-                k = 0
-                for i in np.where(new_ok)[0][:n_new]:
-                    if k >= len(free):
-                        break
-                    s = free[k]
-                    k += 1
-                    self.pos[s] = new_pts[i]
-                    self.ids[s] = self.next_id
-                    self.next_id += 1
-                    self.track_cnt[s] = 1
-                    slot_bearing[s] = new_bearings[i]
+                sel = np.where(new_ok)[0][:n_new][: len(free)]
+                slots = free[: len(sel)]
+                self.pos[slots] = new_pts[sel].astype(np.float64)
+                self.ids[slots] = np.arange(
+                    self.next_id, self.next_id + len(sel)
+                )
+                self.next_id += len(sel)
+                self.track_cnt[slots] = 1
+                cur_bearing[slots] = new_bearings[sel].astype(np.float64)
+                has_prev[slots] = False
                 valid = self.ids >= 0
 
-        # Velocities from previous-frame bearings by id.
-        dt = (t - self.prev_time) if self.prev_time is not None else None
-        cur_map = {}
-        feats = {} if publish else None
-        for s in np.where(valid)[0]:
-            fid = int(self.ids[s])
-            bb = slot_bearing[s]
-            cur_map[fid] = bb
-            if publish and self.track_cnt[s] > 1:
-                if dt and fid in self.prev_bearing_by_id:
-                    vel = (bb - self.prev_bearing_by_id[fid]) / dt
-                else:
-                    vel = np.zeros(3)
-                feats[fid] = (bb.copy(), vel, float(self.pos[s, 1]))
+        # 3-D bearing velocities per slot (undistortedPoints semantics:
+        # Δbearing/Δt for features tracked from the previous frame).
+        dt = t - self.prev_time if self.prev_time is not None else 0.0
+        vels = np.zeros((self.N, 3))
+        if dt > 0:
+            vels[has_prev] = (
+                cur_bearing[has_prev] - self.prev_bearing[has_prev]
+            ) / dt
+
+        pub_mask = valid & (self.track_cnt > 1) if publish else None
 
         self.prev_pyr = pyr
         self.prev_time = t
-        self.prev_bearing_by_id = cur_map
-        return feats
+        self.prev_bearing = cur_bearing
+        self.prev_has_bearing = valid.copy()
+        if not publish:
+            return None
+        return self.ids.copy(), cur_bearing, vels, self.pos[:, 1].copy(), pub_mask
+
+    def process(self, img: np.ndarray, t: float, publish: bool = True):
+        """Dict-interface wrapper over process_arrays: id -> (bearing3, vel3,
+        row) for published features (kept for tests/tools; the pipeline uses
+        the array interface)."""
+        out = self.process_arrays(img, t, publish)
+        if out is None:
+            return None
+        ids, bearings, vels, rows, pub = out
+        return {
+            int(ids[s]): (bearings[s].copy(), vels[s].copy(), float(rows[s]))
+            for s in np.where(pub)[0]
+        }

@@ -17,22 +17,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _conv2(img, k):
-    return jax.lax.conv_general_dilated(
-        img[None, None], k[None, None], window_strides=(1, 1), padding="SAME"
-    )[0, 0]
-
-
 def shi_tomasi_response(img, block_size: int = 3):
-    """Min-eigenvalue corner response (cv::goodFeaturesToTrack's score)."""
-    dtype = img.dtype
-    sx = jnp.asarray([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype) / 8.0
-    gx = _conv2(img, sx)
-    gy = _conv2(img, sx.T)
-    box = jnp.ones((block_size, block_size), dtype) / (block_size * block_size)
-    Ixx = _conv2(gx * gx, box)
-    Ixy = _conv2(gx * gy, box)
-    Iyy = _conv2(gy * gy, box)
+    """Min-eigenvalue corner response (cv::goodFeaturesToTrack's score).
+
+    Stencils are shifted adds (see pyramid.py TPU note): Sobel is separable
+    smooth[1,2,1] ∘ diff[-1,0,1], the box sum is two 3-tap passes."""
+    from .pyramid import _shift
+
+    sm_y = _shift(img, -1, 0) + 2.0 * img + _shift(img, 1, 0)
+    gx = (_shift(sm_y, 0, 1) - _shift(sm_y, 0, -1)) / 8.0
+    sm_x = _shift(img, 0, -1) + 2.0 * img + _shift(img, 0, 1)
+    gy = (_shift(sm_x, 1, 0) - _shift(sm_x, -1, 0)) / 8.0
+
+    def box3(x):
+        r = _shift(x, -1, 0) + x + _shift(x, 1, 0)
+        return (_shift(r, 0, -1) + r + _shift(r, 0, 1)) / (
+            block_size * block_size
+        )
+
+    Ixx = box3(gx * gx)
+    Ixy = box3(gx * gy)
+    Iyy = box3(gy * gy)
     tr = Ixx + Iyy
     det = Ixx * Iyy - Ixy * Ixy
     return 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))

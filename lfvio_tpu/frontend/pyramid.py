@@ -1,9 +1,13 @@
-"""Image pyramid construction (device, conv-based).
+"""Image pyramid construction (device, shift-add formulation).
 
 Equivalent of the pyramid OpenCV builds inside calcOpticalFlowPyrLK
 (reference call: feature_tracker.cpp:127, 3 levels): 5×5 Gaussian smoothing
-followed by 2× decimation, expressed as one depthwise convolution per level
-so XLA maps it onto the MXU/VPU.
+followed by 2× decimation.
+
+TPU note: XLA's conv op with a single channel lowers poorly on TPU (the MXU
+wants ≥128 channels), so small stencils are expressed as shifted adds on the
+VPU — a 5-tap separable blur is 10 shifted fused-multiply-adds over the
+image, pure bandwidth (~10 × 5 MB per frame), instead of a degenerate conv.
 """
 
 from __future__ import annotations
@@ -13,23 +17,45 @@ import jax.numpy as jnp
 import numpy as np
 
 # OpenCV pyrDown 5-tap kernel [1, 4, 6, 4, 1] / 16.
-_K5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_K5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _shift(img, dy, dx):
+    """Edge-replicating integer shift as pad+slice (no gathers: lowers to
+    concatenated static slices, pure VPU/copy work)."""
+    H, W = img.shape
+    out = img
+    if dy:
+        pad = ((0, dy), (0, 0)) if dy > 0 else ((-dy, 0), (0, 0))
+        out = jnp.pad(out, pad, mode="edge")
+        out = out[dy : dy + H, :] if dy > 0 else out[:H, :]
+    if dx:
+        pad = ((0, 0), (0, dx)) if dx > 0 else ((0, 0), (-dx, 0))
+        out = jnp.pad(out, pad, mode="edge")
+        out = out[:, dx : dx + W] if dx > 0 else out[:, :W]
+    return out
+
+
+def _sep_filter(img, taps, radius):
+    """Separable symmetric filter via shifted adds (rows then cols)."""
+    acc = img * taps[radius]
+    for d in range(1, radius + 1):
+        acc = acc + taps[radius - d] * _shift(img, -d, 0)
+        acc = acc + taps[radius + d] * _shift(img, d, 0)
+    out = acc * taps[radius]
+    for d in range(1, radius + 1):
+        out = out + taps[radius - d] * _shift(acc, 0, -d)
+        out = out + taps[radius + d] * _shift(acc, 0, d)
+    return out
 
 
 def _blur_down(img):
-    """5x5 separable Gaussian blur + 2x decimation. img: [H, W] float."""
-    dtype = img.dtype
-    k = jnp.asarray(_K5, dtype)
-    x = img[None, None, :, :]  # NCHW
-    kh = k.reshape(1, 1, 5, 1)
-    kw = k.reshape(1, 1, 1, 5)
-    x = jax.lax.conv_general_dilated(
-        x, kh, window_strides=(1, 1), padding=((2, 2), (0, 0))
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kw, window_strides=(1, 1), padding=((0, 0), (2, 2))
-    )
-    return x[0, 0, ::2, ::2]
+    """5x5 separable Gaussian blur + 2x decimation. img: [H, W] float.
+
+    Note the original conv formulation used zero padding on the row pass;
+    this uses edge replication on both passes (slightly better near borders,
+    tracker-equivalent elsewhere)."""
+    return _sep_filter(img, _K5, 2)[::2, ::2]
 
 
 def gaussian_pyramid(img, n_levels: int = 3):
@@ -43,15 +69,14 @@ def gaussian_pyramid(img, n_levels: int = 3):
 
 def scharr_gradients(img):
     """Scharr 3×3 x/y gradients (the operator cv::calcOpticalFlowPyrLK uses
-    for the template derivatives), normalized by 1/32."""
-    dtype = img.dtype
-    kx = jnp.asarray([[-3.0, 0, 3], [-10, 0, 10], [-3, 0, 3]], dtype) / 32.0
-    ky = kx.T
-    x = img[None, None, :, :]
-    gx = jax.lax.conv_general_dilated(
-        x, kx[None, None], window_strides=(1, 1), padding="SAME"
-    )[0, 0]
-    gy = jax.lax.conv_general_dilated(
-        x, ky[None, None], window_strides=(1, 1), padding="SAME"
-    )[0, 0]
+    for the template derivatives), normalized by 1/32. Shift-add form."""
+    # Separable: gx = smooth_y([3,10,3]) ∘ diff_x([-1,0,1]); gy transposed.
+    sy = (
+        3.0 * _shift(img, -1, 0) + 10.0 * img + 3.0 * _shift(img, 1, 0)
+    ) / 32.0
+    gx = _shift(sy, 0, 1) - _shift(sy, 0, -1)
+    sx = (
+        3.0 * _shift(img, 0, -1) + 10.0 * img + 3.0 * _shift(img, 0, 1)
+    ) / 32.0
+    gy = _shift(sx, 1, 0) - _shift(sx, -1, 0)
     return gx, gy

@@ -29,6 +29,7 @@ from ..frontend import (
     annulus_mask,
     spherical_ransac_e,
 )
+from ..frontend.klt_pallas import pyramidal_lk_pallas
 
 
 class FrontEnd:
@@ -45,6 +46,7 @@ class FrontEnd:
         border: int = 1,
         dtype=jnp.float32,
         seed: int = 0,
+        use_pallas: bool | None = None,  # None = Pallas kernel on TPU
     ):
         self.camera = camera
         self.H, self.W = image_size
@@ -55,6 +57,9 @@ class FrontEnd:
         self.n_levels = n_levels
         self.border = border
         self.dtype = dtype
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         if annulus is not None:
             self.static_mask = annulus_mask(
                 image_size, *[float(a) for a in annulus], dtype=dtype
@@ -106,7 +111,8 @@ class FrontEnd:
         Returns (pyr_next, pts_next, status, bearings, new_pts, new_ok).
         """
         pyr = self._preprocess(img)
-        pts_next, ok = pyramidal_lk(
+        lk = pyramidal_lk_pallas if self.use_pallas else pyramidal_lk
+        pts_next, ok = lk(
             list(pyr_prev), list(pyr), pos, valid, self.n_levels
         )
         # Border containment (inBorder, BORDER_SIZE=1) + annulus mask.

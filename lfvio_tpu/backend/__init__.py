@@ -5,7 +5,7 @@ from .factors import (
     prior_residual,
     cauchy_corrector,
 )
-from .solver import build_normal_equations, lm_solve, apply_delta
+from .solver import assemble_normal_equations, lm_solve, apply_delta
 from .marginalize import (
     marginalize_old,
     marginalize_second_new,

@@ -295,10 +295,6 @@ def total_cost(state, grid, pre, sqrt_info_imu, imu_valid, prior, gravity, cfg):
     return cost_proj + 0.5 * jnp.sum(imu_res * imu_res) + 0.5 * jnp.sum(rp * rp)
 
 
-def build_normal_equations(*args, **kwargs):
-    return assemble_normal_equations(*args, **kwargs)
-
-
 def _schur_solve(H_pp, H_pl, H_ll, b_p, b_l, lam, used, dtype):
     """Solve the damped system by eliminating the diagonal depth block."""
     D = H_pp.shape[0]

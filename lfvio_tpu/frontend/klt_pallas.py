@@ -10,17 +10,18 @@ the computation around the TPU memory system:
   * Each feature's template (48×128) and search (56×128) patches are DMA'd
     from HBM into VMEM ONCE per level — 2 explicit DMAs per feature instead
     of hundreds of compiler-emitted gathers.
-  * In-iteration bilinear resampling never gathers: the y (sublane)
-    interpolation is two dynamic sublane slices of the VMEM patch, and the
-    x (lane) interpolation is a matmul with a banded shift matrix built
-    from iota comparisons — the MXU does the lane-realignment.
+  * In-iteration bilinear resampling never gathers: both the y (sublane)
+    and x (lane) interpolations are matmuls with banded shift matrices
+    built from iota comparisons — the MXU does all the realignment.
+    (Dynamic sublane slices are not used: Mosaic requires their offsets to
+    be provably 8-aligned, which a data-dependent floor() is not.)
   * The 20 Gauss-Newton iterations run entirely on VMEM-resident data.
 
-Roofline: per (feature, level): 2 DMAs × 24 KB + ~21 resamples × ~0.23 MFLOP
-(41×128×43 matmul) ≈ 4.9 MFLOP. Full frame (256 features × 4 levels):
-~5 GFLOP MXU + 50 MB HBM traffic → ~0.2 ms compute / ~0.06 ms memory at
-v5e peak (197 bf16 TFLOP/s ÷4 for f32, 819 GB/s); the kernel is therefore
-grid-overhead bound, not resource bound — measured ~8 ms vs 135 ms for XLA.
+Roofline: per (feature, level): 2 DMAs × ~60 KB + ~21 resamples × ~2.3 MFLOP
+(43×64×256 + 43×256×43 shift matmuls) ≈ 50 MFLOP. Full frame (256 features
+× 4 levels): ~50 GFLOP MXU + ~120 MB HBM traffic → ~1 ms compute / 0.15 ms
+memory at v5e f32 peak; measured numbers live in REPORT.md (driver-visible
+benchmarks only).
 
 Numerics match klt.py exactly in exact arithmetic (same template, Scharr-free
 central-difference gradients, same clamps); parity is tested in
@@ -57,15 +58,27 @@ def _shift_matrix(ix, fx, cols, dtype):
 
 def _sample(patch_ref, oy, ox, rows, cols):
     """Bilinearly sample a rows×cols window at float offset (oy, ox) from a
-    VMEM patch ref: two dynamic sublane slices (y) + one shift matmul (x)."""
+    VMEM patch ref: one banded shift matmul per axis.
+
+    The y (sublane) interpolation is also a matmul — Mosaic requires dynamic
+    sublane-slice offsets to be provably 8-aligned (vector.load constraint),
+    which the data-dependent floor(oy) is not; a [rows, prows] selection
+    matrix built from iota comparisons has fully static shapes and rides the
+    MXU instead. Rows whose source index falls outside the patch produce 0,
+    which is strictly safer than a clamped slice (such features are border-
+    rejected anyway)."""
     dtype = patch_ref.dtype
+    prows = patch_ref.shape[0]
     iy = jnp.floor(oy).astype(jnp.int32)
     ix = jnp.floor(ox).astype(jnp.int32)
     fy = (oy - iy.astype(dtype)).astype(dtype)
     fx = (ox - ix.astype(dtype)).astype(dtype)
-    row_a = patch_ref[pl.ds(iy, rows), :]
-    row_b = patch_ref[pl.ds(iy + 1, rows), :]
-    y_interp = row_a * (1.0 - fy) + row_b * fy  # [rows, LANES]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, prows), 0)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, prows), 1)
+    lo = (q_iota == iy + r_iota).astype(dtype)
+    hi = (q_iota == iy + 1 + r_iota).astype(dtype)
+    Sy = lo * (1.0 - fy) + hi * fy
+    y_interp = jnp.dot(Sy, patch_ref[:], preferred_element_type=jnp.float32)
     S = _shift_matrix(ix, fx, cols, dtype)
     return jnp.dot(y_interp, S, preferred_element_type=jnp.float32)
 

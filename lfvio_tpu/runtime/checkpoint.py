@@ -44,6 +44,15 @@ def save_checkpoint(path: str, est):
         flat = np.zeros((0, 7))
     data["imu_counts"] = counts
     data["imu_flat"] = flat
+    # Hot-path padded mirrors (incl. interval-start samples, which are not
+    # recoverable from the ragged lists alone).
+    data["imu_dts"] = est._imu_dts
+    data["imu_accs"] = est._imu_accs
+    data["imu_gyrs"] = est._imu_gyrs
+    data["imu_n"] = est._imu_n
+    data["imu_sumdt"] = est._imu_sumdt
+    data["imu_a0"] = est._imu_a0
+    data["imu_g0"] = est._imu_g0
     if est.prior is not None:
         for f in PRIOR_FIELDS:
             data[f"prior_{f}"] = np.asarray(getattr(est.prior, f))
@@ -83,6 +92,13 @@ def load_checkpoint(path: str, est):
             row = flat[k]; k += 1
             buf.append((float(row[0]), row[1:4].copy(), row[4:7].copy()))
         est.imu_buf.append(buf)
+    est._imu_dts[:] = z["imu_dts"]
+    est._imu_accs[:] = z["imu_accs"]
+    est._imu_gyrs[:] = z["imu_gyrs"]
+    est._imu_n[:] = z["imu_n"]
+    est._imu_sumdt[:] = z["imu_sumdt"]
+    est._imu_a0[:] = z["imu_a0"]
+    est._imu_g0[:] = z["imu_g0"]
     if "prior_J" in z.files:
         est.prior = PriorFactor(*[jnp.asarray(z[f"prior_{f}"]) for f in PRIOR_FIELDS])
     else:

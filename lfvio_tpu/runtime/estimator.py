@@ -53,6 +53,13 @@ class EstimatorConfig:
     g_norm: float = 9.81
     estimate_td: bool = False
     estimate_extrinsic: bool = False
+    # ESTIMATE_EXTRINSIC=2 flow (estimator.cpp:126-142): start with NO
+    # extrinsic rotation knowledge; hand-eye calibrate online during INITIAL.
+    calib_extrinsic_rotation: bool = False
+    # Rolling shutter (projection_td_factor.cpp:21-22,53-56): per-observation
+    # td_obs = td_meas - TR/ROW * (row - ROW/2). TR = 0 → global shutter.
+    rolling_shutter_tr: float = 0.0
+    image_rows: int = 480
     td0: float = 0.0
     tic: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     ric: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(3))
@@ -76,12 +83,17 @@ class Estimator:
         dt = cfg.solver_dtype
         self.gravity = None  # set after init (g in world frame = [0,0,g_norm])
 
-        # Jitted device functions: ONE fused call per frame (two marg
-        # variants). Everything device-side happens inside — preintegration,
-        # whitening, triangulation, the LM solve, the yaw-gauge fix, and the
-        # square-root QR marginalization. The prior never leaves the device.
-        self._step_old = jax.jit(partial(self._frame_step_impl, True))
-        self._step_new = jax.jit(partial(self._frame_step_impl, False))
+        # Jitted device functions: TWO async dispatches per frame — the
+        # solve program (preintegration, whitening, triangulation, LM,
+        # yaw-gauge fix) and the marginalization program (QR square-root
+        # prior, two variants). They were one fused program in round 2, but
+        # XLA's compile time explodes superlinearly when the linearization
+        # code is instantiated twice in one program (~459 s vs ~15 s total
+        # when split, measured on the v5e); the split costs one extra async
+        # dispatch and nothing else — the prior never leaves the device.
+        self._solve_step = jax.jit(self._solve_step_impl)
+        self._marg_old = jax.jit(self._marg_old_impl)
+        self._marg_new = jax.jit(self._marg_new_impl)
         self._triangulate = jax.jit(triangulate_grid)
 
     # ------------------------------------------------------------------ state
@@ -101,8 +113,18 @@ class Estimator:
         self.first_imu = False
         self.acc_0 = np.zeros(3)
         self.gyr_0 = np.zeros(3)
-        # Per window interval IMU buffers: list of (dt, acc, gyr) lists.
+        # Per window interval IMU buffers: list of (dt, acc, gyr) lists
+        # (cold path: init-time preintegration) plus persistent padded
+        # arrays mirroring them (hot path: rebuilt-free device upload).
         self.imu_buf = [[] for _ in range(W1)]
+        M = cfg.max_imu_per_interval
+        self._imu_dts = np.zeros((W1, M))
+        self._imu_accs = np.zeros((W1, M, 3))
+        self._imu_gyrs = np.zeros((W1, M, 3))
+        self._imu_n = np.zeros(W1, np.int64)
+        self._imu_sumdt = np.zeros(W1)
+        self._imu_a0 = np.zeros((W1, 3))
+        self._imu_g0 = np.zeros((W1, 3))
         self.tmp_imu_buf = []  # since last frame (for all_image_frame)
         self.fm = HostFeatureManager(cfg.n_feature_slots, W1)
         self.all_frames = []  # list of dicts (t, feats, imu, R, T, is_key)
@@ -117,6 +139,16 @@ class Estimator:
         self.last_P0 = np.zeros(3)
         self.last_R0 = np.eye(3)
         self.initial_timestamp = -1e18
+        # Online extrinsic-rotation calibration (ESTIMATE_EXTRINSIC=2).
+        from ..vinit.ex_rotation import ExtrinsicRotationCalibrator
+
+        self.ex_calib = ExtrinsicRotationCalibrator()
+        self.extrinsic_calibrated = not cfg.calib_extrinsic_rotation
+        # Relocalization hooks (estimator_node.cpp:261-285).
+        self.relo_relative_t = None
+        self.relo_relative_q = None
+        self.relo_relative_yaw = None
+        self.relo_frame_stamp = None
 
     # ------------------------------------------------------------------- IMU
     def process_imu(self, dt, acc, gyr):
@@ -131,6 +163,18 @@ class Estimator:
         if j != 0:
             self.imu_buf[j].append((dt, acc.copy(), gyr.copy()))
             self.tmp_imu_buf.append((dt, acc.copy(), gyr.copy()))
+            n = self._imu_n[j]
+            if n == 0:
+                # Interval start sample = the previous stream sample
+                # (IntegrationBase is seeded with carried-over acc_0/gyr_0).
+                self._imu_a0[j] = self.acc_0
+                self._imu_g0[j] = self.gyr_0
+            if n < self._imu_dts.shape[1]:
+                self._imu_dts[j, n] = dt
+                self._imu_accs[j, n] = acc
+                self._imu_gyrs[j, n] = gyr
+                self._imu_n[j] = n + 1
+            self._imu_sumdt[j] += dt
             g = np.array([0.0, 0.0, self.cfg.g_norm])
             R = hg.quat_to_mat(self.Qs[j])
             un_acc_0 = R @ (self.acc_0 - self.Bas[j]) - g
@@ -146,17 +190,14 @@ class Estimator:
         self.acc_0, self.gyr_0 = acc, gyr
 
     # ------------------------------------------------------------- device fns
-    def _frame_step_impl(
-        self, marg_old: bool,
-        state, grid, dts, accs, gyrs, a0, g0, imu_valid_in,
+    def _solve_step_impl(
+        self, state, grid, dts, accs, gyrs, a0, g0, imu_valid_in,
         prior, has_depth, origin_p0, origin_q0,
     ):
-        """The fused per-frame device program (jitted once per marg mode).
-
-        Covers the reference's solveOdometry + double2vector + the
-        marginalization block (estimator.cpp:475-515, 532-626, 832-1005) in a
-        single XLA computation: no intermediate host round trips.
-        """
+        """Per-frame solve program: the reference's solveOdometry +
+        double2vector (estimator.cpp:475-515, 532-626) as one XLA
+        computation. Returns the solved state plus the preintegration /
+        whitening intermediates the marginalization program consumes."""
         from ..backend.factors import projection_residuals_grid
 
         cfg = self.cfg
@@ -184,51 +225,31 @@ class Estimator:
             out, grid, jnp.asarray(self.scfg.proj_sqrt_info, sd)
         )
         rn = jnp.linalg.norm(res, axis=-1)
+        return out, pre, sqrt_info, imu_valid, rn, rvalid, c0, c1
 
-        if marg_old:
-            new_prior = marginalize_old_qr(
-                out, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg
-            )
-        else:
-            new_prior = marginalize_second_new_qr(out, prior, self.scfg)
-        return out, new_prior, rn, rvalid, c0, c1
+    def _marg_old_impl(self, out, grid, pre, sqrt_info, imu_valid, prior):
+        """MARGIN_OLD program (estimator.cpp:832-948 equivalent)."""
+        gravity = jnp.asarray(
+            [0.0, 0.0, self.cfg.g_norm], self.cfg.solver_dtype
+        )
+        return marginalize_old_qr(
+            out, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg
+        )
+
+    def _marg_new_impl(self, out, prior):
+        """MARGIN_SECOND_NEW program (estimator.cpp:949-1005 equivalent)."""
+        return marginalize_second_new_qr(out, prior, self.scfg)
 
     # ----------------------------------------------------------- preint build
-    def _interval_start_sample(self, i):
-        """Sample at the interval start = last sample of previous interval
-        (the reference seeds IntegrationBase with acc_0/gyr_0 carried over)."""
-        for k in range(i - 1, 0, -1):
-            if self.imu_buf[k]:
-                return self.imu_buf[k][-1][1], self.imu_buf[k][-1][2]
-        return None
-
     def _padded_window_arrays(self):
-        """Numpy-stacked padded IMU sample arrays for the whole window —
-        everything the device preintegration needs, no device work here."""
-        W1 = NFRAMES
-        M = self.cfg.max_imu_per_interval
-        W = W1 - 1
-        dts = np.zeros((W, M))
-        accs = np.zeros((W, M, 3))
-        gyrs = np.zeros((W, M, 3))
-        a0l = np.zeros((W, 3))
-        g0l = np.zeros((W, 3))
-        valid = np.zeros(W, bool)
-        for i in range(1, W1):
-            buf = self.imu_buf[i]
-            k = i - 1
-            n = min(len(buf), M)
-            if n > 0:
-                dts[k, :n] = [b[0] for b in buf[:n]]
-                accs[k, :n] = [b[1] for b in buf[:n]]
-                gyrs[k, :n] = [b[2] for b in buf[:n]]
-                a0l[k], g0l[k] = buf[0][1], buf[0][2]
-            start = self._interval_start_sample(i)
-            if start is not None:
-                a0l[k], g0l[k] = start
-            sum_dt = sum(b[0] for b in buf)
-            valid[k] = len(buf) > 0 and sum_dt < 10.0
-        return dts, accs, gyrs, a0l, g0l, valid
+        """Padded IMU sample arrays for the whole window — maintained
+        incrementally by process_imu / the slide ops, so this is just views
+        (no per-frame list rebuilding; was ~10 ms/frame of host time)."""
+        valid = (self._imu_n[1:] > 0) & (self._imu_sumdt[1:] < 10.0)
+        return (
+            self._imu_dts[1:], self._imu_accs[1:], self._imu_gyrs[1:],
+            self._imu_a0[1:], self._imu_g0[1:], valid,
+        )
 
     # ---------------------------------------------------------------- helpers
     def _device_state(self, dtype=None):
@@ -275,13 +296,40 @@ class Estimator:
         ids_s = np.asarray(ids)[sel]
         b_s = np.asarray(bearings)[sel]
         v_s = np.asarray(vels)[sel]
-        # td_obs per observation: current td estimate (rolling-shutter row
-        # term folded in by the caller when TR != 0).
-        tds = np.full(len(sel), self.td)
+        # td_obs per observation: td at measurement time minus the rolling-
+        # shutter row term (projection_td_factor.cpp:21-22,53-56:
+        # correction = (td - td_i + TR/ROW*(row - ROW/2)) * vel).
+        tr = cfg.rolling_shutter_tr
+        if tr != 0.0:
+            rows_s = np.asarray(rows, np.float64)[sel]
+            tds = self.td - (tr / cfg.image_rows) * (
+                rows_s - cfg.image_rows / 2.0
+            )
+        else:
+            tds = np.full(len(sel), self.td)
         is_keyframe = self.fm.add_frame_arrays(
             self.frame_count, ids_s, b_s, v_s, tds, cfg.min_parallax
         )
         self.marg_old = is_keyframe  # True -> MARGIN_OLD
+
+        # Online extrinsic-rotation calibration during INITIAL
+        # (estimator.cpp:126-142): hand-eye on frame-pair rotations until the
+        # calibrator's excitation gate passes, then trust + refine in BA.
+        if (
+            not self.extrinsic_calibrated
+            and self.frame_count != 0
+            and self.solver_flag == self.INITIAL
+        ):
+            b1, b2, _ = self.fm.corresponding(
+                self.frame_count - 1, self.frame_count
+            )
+            if len(b1) >= 9:
+                pre = self._np_preint(self.imu_buf[self.frame_count])
+                if pre is not None:
+                    done, ric = self.ex_calib.add_pair(b1, b2, pre.delta_q)
+                    if done:
+                        self.qic = hg.mat_to_quat(ric)
+                        self.extrinsic_calibrated = True
 
         self.headers[self.frame_count] = t
         if self.solver_flag == self.INITIAL:
@@ -301,7 +349,12 @@ class Estimator:
         if self.solver_flag == self.INITIAL:
             if self.frame_count == WINDOW:
                 ok = False
-                if t - self.initial_timestamp > 0.1:
+                # The bootstrap needs a trusted extrinsic rotation
+                # (estimator.cpp:152: init waits while ESTIMATE_EXTRINSIC==2).
+                if (
+                    self.extrinsic_calibrated
+                    and t - self.initial_timestamp > 0.1
+                ):
                     ok = self._initial_structure()
                     self.initial_timestamp = t
                 if ok:
@@ -358,6 +411,94 @@ class Estimator:
         self.traj_p.append(self.Ps[WINDOW].copy())
         self.traj_q.append(self.Qs[WINDOW].copy())
 
+    # ------------------------------------------------------------------ relo
+    def set_relo_frame(
+        self, frame_stamp, match_ids, match_bearings, prev_relo_p, prev_relo_q
+    ):
+        """Relocalization hook — the estimator side of a loop closure
+        (reference setReloFrame, estimator.cpp:1133-1152, fed from
+        estimator_node.cpp:261-285; the relo residuals live in
+        optimization(), estimator.cpp:777-808, and the drift outputs in
+        double2vector, estimator.cpp:605-624).
+
+        Args: `frame_stamp` must match a window keyframe header;
+        `match_ids`/`match_bearings` are the loop frame's matched feature
+        ids and unit bearings (old camera frame); (`prev_relo_p`,
+        `prev_relo_q`) is the loop frame's pose in the pose-graph world.
+
+        TPU-first design note: the reference appends relo projection factors
+        plus one extra free pose block to its per-frame Ceres problem; our
+        fused device step is compiled with a static layout, so the (rare,
+        host-triggered) relo solve runs as a separate bearing-space PnP of
+        the loop frame against the window's triangulated landmarks — same
+        inputs, same outputs (relo_relative_t/q/yaw drift for the pose
+        graph), no recompile of the hot path.
+
+        Returns True when a drift estimate was produced.
+        """
+        from ..vinit.pnp import pnp_bearing_gn
+
+        idx = None
+        for i in range(WINDOW):
+            if abs(self.headers[i] - frame_stamp) < 1e-7:
+                idx = i
+        if idx is None or self.solver_flag != self.NON_LINEAR:
+            return False
+
+        ric = hg.quat_to_mat(self.qic)
+        pw, bb = [], []
+        match_bearings = np.asarray(match_bearings, np.float64)
+        for fid, b_old in zip(np.asarray(match_ids, np.int64), match_bearings):
+            s = self.fm._id2slot.get(int(fid), -1)
+            if s < 0 or self.fm.depth[s] <= 0:
+                continue
+            a = int(self.fm.anchor[s])
+            Ra = hg.quat_to_mat(self.Qs[a])
+            p_cam = self.fm.bearing[s, a] * self.fm.depth[s]
+            p_w = Ra @ (ric @ p_cam + self.tic) + self.Ps[a]
+            pw.append(p_w)
+            bb.append(b_old / max(np.linalg.norm(b_old), 1e-12))
+        if len(pw) < 6:
+            return False
+        pw = np.stack(pw)
+        bb = np.stack(bb)
+
+        # Seed from the matched window frame (reference seeds relo_Pose with
+        # para_Pose[i]); solve the loop frame's camera pose in the VIO world.
+        R_wi = hg.quat_to_mat(self.Qs[idx])
+        R_wc0 = R_wi @ ric
+        t_wc0 = self.Ps[idx] + R_wi @ self.tic
+        R_cw, t_cw, ok = pnp_bearing_gn(pw, bb, R_wc0.T, -R_wc0.T @ t_wc0)
+        if not ok:
+            return False
+        R_wc = R_cw.T
+        P_wc = -R_wc @ t_cw
+        relo_r = R_wc @ ric.T  # loop frame IMU pose in VIO world
+        relo_t = P_wc - relo_r @ self.tic
+
+        def norm_deg(a):
+            return (a + 180.0) % 360.0 - 180.0
+
+        R_idx = hg.quat_to_mat(self.Qs[idx])
+        self.relo_relative_t = relo_r.T @ (self.Ps[idx] - relo_t)
+        self.relo_relative_q = hg.mat_to_quat(relo_r.T @ R_idx)
+        self.relo_relative_yaw = norm_deg(
+            float(hg.R_to_ypr_deg(R_idx)[0]) - float(hg.R_to_ypr_deg(relo_r)[0])
+        )
+        self.relo_frame_stamp = frame_stamp
+        # Drift correction for the visualization/path output
+        # (estimator.cpp:613-617).
+        prev_relo_r = hg.quat_to_mat(np.asarray(prev_relo_q, np.float64))
+        dy = norm_deg(
+            float(hg.R_to_ypr_deg(prev_relo_r)[0])
+            - float(hg.R_to_ypr_deg(relo_r)[0])
+        )
+        self.drift_correct_r = hg.ypr_deg_to_R([dy, 0.0, 0.0])
+        self.drift_correct_t = (
+            np.asarray(prev_relo_p, np.float64) - self.drift_correct_r @ relo_t
+        )
+        return True
+
     # ----------------------------------------------------------------- solve
     def _solve_odometry(self):
         if self.frame_count < WINDOW:
@@ -378,14 +519,17 @@ class Estimator:
         else:
             origin_p0, origin_q0 = self.Ps[0], self.Qs[0]
 
-        step = self._step_old if self.marg_old else self._step_new
-        out, new_prior, rn, rvalid, c0, c1 = step(
+        out, pre, sqrt_info, imu_ok, rn, rvalid, c0, c1 = self._solve_step(
             state, grid,
             jnp.asarray(dts, sd), jnp.asarray(accs, sd), jnp.asarray(gyrs, sd),
             jnp.asarray(a0l, sd), jnp.asarray(g0l, sd), jnp.asarray(imu_valid),
             prior, has_depth,
             jnp.asarray(origin_p0, sd), jnp.asarray(origin_q0, sd),
         )
+        if self.marg_old:
+            new_prior = self._marg_old(out, grid, pre, sqrt_info, imu_ok, prior)
+        else:
+            new_prior = self._marg_new(out, prior)
         # The prior stays device-resident; only the window state comes back.
         self.prior = new_prior
         host = jax.device_get(
@@ -456,6 +600,14 @@ class Estimator:
             self.imu_buf = self.imu_buf[1:] + [[]]
             # Merge the first two entries' buffers is NOT needed: dropped.
             self.imu_buf[0] = []
+            for arr in (
+                self._imu_dts, self._imu_accs, self._imu_gyrs,
+                self._imu_a0, self._imu_g0, self._imu_n, self._imu_sumdt,
+            ):
+                arr[:-1] = arr[1:]
+                arr[-1] = 0
+            self._imu_n[0] = 0
+            self._imu_sumdt[0] = 0.0
             if self.solver_flag == self.NON_LINEAR:
                 R0 = back_R0 @ ric
                 P0 = back_P0 + back_R0 @ self.tic
@@ -473,6 +625,23 @@ class Estimator:
             # Merge newest interval's IMU into interval j-1.
             self.imu_buf[j - 1].extend(self.imu_buf[j])
             self.imu_buf[j] = []
+            M = self._imu_dts.shape[1]
+            n0 = int(self._imu_n[j - 1])
+            take = min(int(self._imu_n[j]), M - n0)
+            if take > 0:
+                self._imu_dts[j - 1, n0 : n0 + take] = self._imu_dts[j, :take]
+                self._imu_accs[j - 1, n0 : n0 + take] = self._imu_accs[j, :take]
+                self._imu_gyrs[j - 1, n0 : n0 + take] = self._imu_gyrs[j, :take]
+                self._imu_n[j - 1] = n0 + take
+            if self._imu_n[j - 1] > 0 and n0 == 0:
+                self._imu_a0[j - 1] = self._imu_a0[j]
+                self._imu_g0[j - 1] = self._imu_g0[j]
+            self._imu_sumdt[j - 1] += self._imu_sumdt[j]
+            self._imu_dts[j] = 0.0
+            self._imu_accs[j] = 0.0
+            self._imu_gyrs[j] = 0.0
+            self._imu_n[j] = 0
+            self._imu_sumdt[j] = 0.0
             for arr in (self.Ps, self.Qs, self.Vs, self.Bas, self.Bgs, self.headers):
                 arr[j - 1] = arr[j]
             self.fm.slide_second_new(j)

@@ -23,10 +23,12 @@ class VioPipeline:
         self.fe = frontend
         self.est = estimator
         self.freq = freq  # max publish rate; 0 = publish every frame
-        self.td = td  # camera-IMU time offset applied when pairing
+        self.td = td  # initial camera-IMU time offset (see _td_now)
         self.on_odometry = on_odometry  # callback(t, p, q, v) at IMU rate
         self._last_pub_t = -1e18
         self._last_imu = None  # (t, acc, gyr)
+        self._last_frame_t = None
+        self.n_restarts = 0
         self._pending = []  # frames waiting for a covering IMU sample
         # High-rate IMU-propagated state (estimator_node.cpp predict/update):
         # the low-latency output between the ~10 Hz solver updates.
@@ -34,15 +36,37 @@ class VioPipeline:
         self._tmp = None  # (P, Q, V, Ba, Bg, acc0, gyr0, t0)
         self.high_rate = []  # list of (t, p[3], q[4], v[3])
 
+    @classmethod
+    def from_yaml(cls, path, n_slots: int = 256, dtype=None, **kw):
+        """Build the complete pipeline from ONE reference-format rig YAML
+        (parameters.cpp:42-139 + feature_tracker/parameters.cpp:43-84)."""
+        import jax.numpy as jnp
+
+        from .config import load_rig_yaml
+
+        rig = load_rig_yaml(path)
+        return rig.make_pipeline(
+            n_slots=n_slots, dtype=dtype or jnp.float32, **kw
+        )
+
+    @property
+    def _td_now(self) -> float:
+        """LIVE camera-IMU offset for measurement pairing. The reference's
+        getMeasurements reads `estimator.td` (estimator_node.cpp:100), so an
+        online td estimate immediately shifts which IMU interval covers each
+        frame — without this, td corrections never feed back into the
+        pairing and the estimate random-walks."""
+        return float(getattr(self.est, "td", self.td))
+
     # ------------------------------------------------------------------ feed
     def feed_imu(self, t, acc, gyr):
         acc = np.asarray(acc, np.float64)
         gyr = np.asarray(gyr, np.float64)
         prev = self._last_imu
         # Flush any pending frame that this sample covers.
-        while self._pending and self._pending[0][0] + self.td <= t:
+        while self._pending and self._pending[0][0] + self._td_now <= t:
             t_f, img = self._pending.pop(0)
-            t_sync = t_f + self.td
+            t_sync = t_f + self._td_now
             if prev is not None and t_sync > prev[0]:
                 # Interpolate the boundary sample at the frame time.
                 w = (t_sync - prev[0]) / max(t - prev[0], 1e-12)
@@ -58,7 +82,27 @@ class VioPipeline:
         self._predict(t, acc, gyr)
 
     def feed_frame(self, t, img):
+        # Stream-discontinuity detection (feature_tracker_node.cpp:38-48):
+        # a gap > 1 s or a backwards timestamp restarts the whole system —
+        # tracker state AND estimator (estimator_node.cpp:176-195
+        # restart_callback → clearState + setParameter).
+        if self._last_frame_t is not None and (
+            t - self._last_frame_t > 1.0 or t < self._last_frame_t
+        ):
+            self.restart()
+        self._last_frame_t = t
         self._pending.append((t, img))
+
+    def restart(self):
+        """Full system restart on stream discontinuity."""
+        self.n_restarts += 1
+        self.fe.reset()
+        self.est.clear_state()
+        self._pending = []
+        self._last_imu = None
+        self._recent_imu = []
+        self._tmp = None
+        self._last_pub_t = -1e18
 
     # ---------------------------------------------------------- high-rate out
     def _predict(self, t, acc, gyr):
@@ -122,7 +166,7 @@ class VioPipeline:
             if pub.any():
                 self._last_pub_t = t
                 self.est.process_image_arrays(ids, bearings, vels, rows, pub, t)
-                self._update_tmp_state(t + self.td)
+                self._update_tmp_state(t + self._td_now)
 
     def run(self, stream, render_fn):
         for item in stream:

@@ -3,14 +3,20 @@
 There is no public dataset vendored in this environment, so end-to-end
 validation and benchmarking use a synthetic rig: a procedurally textured
 cylindrical room viewed by any of our camera models along an analytic
-trajectory, with IMU measurements derived by autodiff of the trajectory —
-pixel-exact rendering, physically consistent inertial data, and perfect
-ground truth.
+trajectory, with IMU measurements derived in closed form from the
+trajectory — pixel-exact rendering, physically consistent inertial data,
+and perfect ground truth.
 
 Rendering is inverse-mapped on device: pixel → camera ray (the camera
 model's lift) → world ray → closest cylinder/plane hit → smooth procedural
 texture. The annulus of a PAL camera sees the full 360° of the room,
 exercising the negative half-plane exactly like the real sensor.
+
+All trajectory/IMU math is CLOSED-FORM numpy f64 (the trajectory is a sum
+of sinusoids; body rates come from the exact SO(3) right Jacobian), so
+generating a full stream costs microseconds per sample with zero device
+dispatches and zero jit compiles — a hard requirement when the device sits
+behind a network tunnel. Only rendering runs on the device.
 """
 
 from __future__ import annotations
@@ -21,8 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import geom
 from ..cam import ScaramuzzaCamera
+
+
+def _ftype():
+    """Widest float the runtime allows — f64 under x64 (tests), else f32.
+    Requesting f64 with x64 disabled only warns and truncates; don't."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 def fit_inverse_poly(poly, max_rho=210.0, n_coeffs=20, n_samples=400):
@@ -44,12 +55,13 @@ SYN_MIN_R = 64.0
 SYN_MAX_R = 190.0
 
 
-def make_synthetic_pal_camera(width=512, height=384, dtype=jnp.float64):
+def make_synthetic_pal_camera(width=512, height=384, dtype=None):
     """A small Scaramuzza PAL camera with a fitted inverse polynomial.
 
     The forward polynomial is the mindvision PAL calibration
     (config/mindvision/mindvision.yaml) radially rescaled by 0.4 to this
     image size, so the annulus genuinely spans the negative half-plane."""
+    dtype = dtype or _ftype()
     sc = 0.4
     base = np.array([-2.445239e2, 0.0, 1.748610e-3, -1.757770e-6, 4.475965e-9])
     poly = base / sc ** np.arange(5)
@@ -63,6 +75,59 @@ def make_synthetic_pal_camera(width=512, height=384, dtype=jnp.float64):
         cx=jnp.asarray(width / 2.0, dtype),
         cy=jnp.asarray(height / 2.0, dtype),
     )
+
+
+# ------------------------------------------------------------ SO(3) (numpy)
+def _np_so3_exp(th):
+    """Rotation-vector exponential → quaternion (wxyz), batched [..., 3]."""
+    th = np.asarray(th, np.float64)
+    a = np.linalg.norm(th, axis=-1, keepdims=True)
+    half = 0.5 * a
+    small = a < 1e-12
+    k = np.where(small, 0.5, np.sin(half) / np.where(small, 1.0, a))
+    w = np.cos(half)
+    return np.concatenate([w, k * th], axis=-1)
+
+
+def _np_quat_to_mat(q):
+    """Quaternion (wxyz) → rotation matrix, batched [..., 4] → [..., 3, 3]."""
+    q = np.asarray(q, np.float64)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def _np_so3_right_jac(th):
+    """Right Jacobian of SO(3): ω_body = Jr(θ) · θ̇ for q(t)=Exp(θ(t)).
+    Batched [..., 3] → [..., 3, 3]."""
+    th = np.asarray(th, np.float64)
+    a = np.linalg.norm(th, axis=-1)
+    shape = th.shape[:-1]
+    W = np.zeros(shape + (3, 3))
+    W[..., 0, 1] = -th[..., 2]
+    W[..., 0, 2] = th[..., 1]
+    W[..., 1, 0] = th[..., 2]
+    W[..., 1, 2] = -th[..., 0]
+    W[..., 2, 0] = -th[..., 1]
+    W[..., 2, 1] = th[..., 0]
+    a2 = a * a
+    small = a < 1e-6
+    safe = np.where(small, 1.0, a)
+    c1 = np.where(small, 0.5 - a2 / 24.0, (1 - np.cos(a)) / (safe * safe))
+    c2 = np.where(
+        small, 1.0 / 6.0 - a2 / 120.0, (safe - np.sin(safe)) / safe**3
+    )
+    eye = np.broadcast_to(np.eye(3), shape + (3, 3))
+    return eye - c1[..., None, None] * W + c2[..., None, None] * (W @ W)
 
 
 @dataclasses.dataclass
@@ -81,91 +146,77 @@ class SyntheticWorld:
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         n_waves = 24
-        self._freqs = jnp.asarray(rng.uniform(0.8, 6.0, (n_waves, 3)))
-        self._phases = jnp.asarray(rng.uniform(0, 2 * np.pi, n_waves))
-        self._amps = jnp.asarray(rng.uniform(0.5, 1.0, n_waves) / np.arange(1, n_waves + 1) ** 0.25)
+        ft = _ftype()
+        self._freqs = jnp.asarray(rng.uniform(0.8, 6.0, (n_waves, 3)), ft)
+        self._phases = jnp.asarray(rng.uniform(0, 2 * np.pi, n_waves), ft)
+        self._amps = jnp.asarray(
+            rng.uniform(0.5, 1.0, n_waves) / np.arange(1, n_waves + 1) ** 0.25,
+            ft,
+        )
         self._render = jax.jit(self._render_impl)
+        self._render_u8 = jax.jit(
+            lambda R, t: (self._render_impl(R, t) + 0.5).astype(jnp.uint8)
+        )
+        w = self.traj_freq * 2 * np.pi
+        A = self.traj_amp
+        # p(t) = P_AMP * sin(P_W t + P_PH) per axis (closed-form derivs).
+        self._P_AMP = np.array([A, 0.8 * A, 0.3])
+        self._P_W = np.array([w, 0.7 * w, 1.3 * w])
+        self._P_PH = np.array([0.0, 0.5, 0.0])
+        # θ(t) = T_AMP * sin(T_W t + T_PH) per axis; slow yaw sweep on z.
+        self._T_AMP = np.array([0.12, 0.12, 0.8])
+        self._T_W = np.array([0.9 * w, 0.6 * w, 0.33 * w])
+        self._T_PH = np.array([0.0, 1.0, 0.0])
 
     # ------------------------------------------------------------- trajectory
+    # All closed-form numpy f64; t may be a scalar or an array [...].
+    def _p_of_t(self, t):
+        t = np.asarray(t, np.float64)[..., None]
+        return self._P_AMP * np.sin(self._P_W * t + self._P_PH)
+
+    def _v_of_t(self, t):
+        t = np.asarray(t, np.float64)[..., None]
+        return self._P_AMP * self._P_W * np.cos(self._P_W * t + self._P_PH)
+
+    def _a_of_t(self, t):
+        t = np.asarray(t, np.float64)[..., None]
+        return -self._P_AMP * self._P_W**2 * np.sin(self._P_W * t + self._P_PH)
+
+    def _theta_of_t(self, t):
+        t = np.asarray(t, np.float64)[..., None]
+        return self._T_AMP * np.sin(self._T_W * t + self._T_PH)
+
+    def _thetadot_of_t(self, t):
+        t = np.asarray(t, np.float64)[..., None]
+        return self._T_AMP * self._T_W * np.cos(self._T_W * t + self._T_PH)
+
     def pose(self, t):
         """Analytic ground truth: position, orientation quaternion (wxyz)."""
-        t = jnp.asarray(t, jnp.float64)
-        A, w = self.traj_amp, self.traj_freq * 2 * jnp.pi
+        return self._p_of_t(t), _np_so3_exp(self._theta_of_t(t))
 
-        def p_of_t(tt):
-            return jnp.stack(
-                [
-                    A * jnp.sin(w * tt),
-                    A * 0.8 * jnp.sin(0.7 * w * tt + 0.5),
-                    0.3 * jnp.sin(1.3 * w * tt),
-                ]
-            )
-
-        def theta_of_t(tt):
-            return jnp.stack(
-                [
-                    0.12 * jnp.sin(0.9 * w * tt),
-                    0.12 * jnp.sin(0.6 * w * tt + 1.0),
-                    0.8 * jnp.sin(0.33 * w * tt),  # slow yaw sweep
-                ]
-            )
-
-        p = p_of_t(t)
-        q = geom.so3_exp(theta_of_t(t))
-        return np.asarray(p), np.asarray(q)
-
-    def imu_sample(self, t):
-        """Exact accelerometer & gyroscope at time t (autodiff of the pose)."""
-        t = jnp.asarray(t, jnp.float64)
-        A, w = self.traj_amp, self.traj_freq * 2 * jnp.pi
-
-        def p_of_t(tt):
-            return jnp.stack(
-                [
-                    A * jnp.sin(w * tt),
-                    A * 0.8 * jnp.sin(0.7 * w * tt + 0.5),
-                    0.3 * jnp.sin(1.3 * w * tt),
-                ]
-            )
-
-        def theta_of_t(tt):
-            return jnp.stack(
-                [
-                    0.12 * jnp.sin(0.9 * w * tt),
-                    0.12 * jnp.sin(0.6 * w * tt + 1.0),
-                    0.8 * jnp.sin(0.33 * w * tt),
-                ]
-            )
-
-        def q_of_t(tt):
-            return geom.so3_exp(theta_of_t(tt))
-
-        v_fn = jax.jacfwd(p_of_t)
-        a_fn = jax.jacfwd(v_fn)
-        a_w = a_fn(t)
-        q = q_of_t(t)
-        R = geom.quat_to_mat(q)
-        gvec = jnp.asarray([0.0, 0.0, self.g_norm])
-        acc_body = R.T @ (a_w + gvec)
-        # omega_body = 2 * (q^-1 ⊗ q̇)_vec
-        qdot = jax.jacfwd(q_of_t)(t)
-        om = 2.0 * geom.quat_mul(geom.quat_conj(q), qdot)[1:4]
-        return np.asarray(acc_body), np.asarray(om)
+    def pose_batch(self, ts):
+        """Ground truth for many timestamps at once (numpy, exact)."""
+        ts = np.asarray(ts, np.float64)
+        return self._p_of_t(ts), _np_so3_exp(self._theta_of_t(ts))
 
     def velocity(self, t):
-        t = jnp.asarray(t, jnp.float64)
-        A, w = self.traj_amp, self.traj_freq * 2 * jnp.pi
+        return self._v_of_t(t)
 
-        def p_of_t(tt):
-            return jnp.stack(
-                [
-                    A * jnp.sin(w * tt),
-                    A * 0.8 * jnp.sin(0.7 * w * tt + 0.5),
-                    0.3 * jnp.sin(1.3 * w * tt),
-                ]
-            )
+    def imu_batch(self, ts):
+        """Exact accelerometer & gyroscope for all timestamps ts: a_body =
+        Rᵀ(a_w + g); ω_body = Jr(θ)·θ̇ (exact for q(t) = Exp(θ(t)))."""
+        ts = np.asarray(ts, np.float64)
+        th = self._theta_of_t(ts)
+        R = _np_quat_to_mat(_np_so3_exp(th))
+        a_w = self._a_of_t(ts) + np.array([0.0, 0.0, self.g_norm])
+        acc_body = np.einsum("...ji,...j->...i", R, a_w)
+        om = np.einsum("...ij,...j->...i", _np_so3_right_jac(th),
+                       self._thetadot_of_t(ts))
+        return acc_body, om
 
-        return np.asarray(jax.jacfwd(p_of_t)(t))
+    def imu_sample(self, t):
+        acc, om = self.imu_batch(np.asarray([t]))
+        return acc[0], om[0]
 
     # --------------------------------------------------------------- texture
     def _texture(self, X):
@@ -175,9 +226,10 @@ class SyntheticWorld:
 
     # --------------------------------------------------------------- render
     def _render_impl(self, R_wc, t_wc):
+        ft = _ftype()
         H, W = self.height, self.width
         yy, xx = jnp.meshgrid(
-            jnp.arange(H, dtype=jnp.float64), jnp.arange(W, dtype=jnp.float64),
+            jnp.arange(H, dtype=ft), jnp.arange(W, dtype=ft),
             indexing="ij",
         )
         pix = jnp.stack([xx, yy], axis=-1).reshape(-1, 2)
@@ -205,19 +257,33 @@ class SyntheticWorld:
 
     def render(self, t):
         p, q = self.pose(t)
-        R = np.asarray(geom.quat_to_mat(jnp.asarray(q)))
-        return np.asarray(self._render(jnp.asarray(R), jnp.asarray(p)))
+        ft = _ftype()
+        return np.asarray(
+            self._render(jnp.asarray(_np_quat_to_mat(q), ft),
+                         jnp.asarray(p, ft))
+        )
+
+    def render_u8(self, t):
+        """Render directly to uint8 on device (4x smaller device→host
+        transfer than f32 — matters over a tunnel-attached TPU)."""
+        p, q = self.pose(t)
+        ft = _ftype()
+        return np.asarray(
+            self._render_u8(jnp.asarray(_np_quat_to_mat(q), ft),
+                            jnp.asarray(p, ft))
+        )
 
     # ----------------------------------------------------------- full dataset
     def generate(self, duration, frame_rate=15.0, imu_rate=200.0):
-        """Yields a measurement stream: ('imu', t, acc, gyr) and
-        ('frame', t, image) tuples in time order, plus ground truth arrays."""
-        stream = []
+        """Returns a measurement stream: ('imu', t, acc, gyr) and
+        ('frame', t, None) tuples in time order. Closed-form numpy —
+        generation is O(microseconds) per sample."""
         n_imu = int(duration * imu_rate) + 1
-        for k in range(n_imu):
-            t = k / imu_rate
-            acc, om = self.imu_sample(t)
-            stream.append(("imu", t, acc, om))
+        ts = np.arange(n_imu) / imu_rate
+        acc, om = self.imu_batch(ts)
+        stream = [
+            ("imu", float(ts[k]), acc[k], om[k]) for k in range(n_imu)
+        ]
         n_frames = int(duration * frame_rate)
         for k in range(n_frames):
             t = k / frame_rate + 1e-4  # frames slightly after an IMU tick

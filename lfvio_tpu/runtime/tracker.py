@@ -79,8 +79,24 @@ class FrontEnd:
         self.prev_has_bearing = np.zeros(self.N, bool)
         self.key = jax.random.PRNGKey(seed)
 
+        # Preprocessing (CLAHE + pyramid) is its own dispatch: embedding the
+        # CLAHE sort/LUT in the big fused program trips an XLA scheduling
+        # pathology on TPU (~52 ms extra); standalone it costs <0.5 ms, and
+        # the extra dispatch is async so no tunnel round trip is added.
+        self._pre = jax.jit(self._preprocess)
         self._first = jax.jit(self._first_impl)
         self._step = jax.jit(self._step_impl, static_argnames=("publish",))
+
+    def reset(self):
+        """Drop all tracking state (stream restart — the tracker side of
+        feature_tracker_node.cpp:38-48). Jitted functions stay cached."""
+        self.pos[:] = 0.0
+        self.ids[:] = -1
+        self.track_cnt[:] = 0
+        self.prev_pyr = None
+        self.prev_time = None
+        self.prev_bearing = np.zeros((self.N, 3))
+        self.prev_has_bearing = np.zeros(self.N, bool)
 
     # ------------------------------------------------------------- device fns
     def _preprocess(self, img):
@@ -94,23 +110,21 @@ class FrontEnd:
         rays = self.camera.lift_projective(pts)
         return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
 
-    def _first_impl(self, img):
-        """First frame: preprocess + detect only."""
-        pyr = self._preprocess(img)
+    def _first_impl(self, pyr):
+        """First frame: detect only (pyr from the preprocessing dispatch)."""
         resp = shi_tomasi_response(pyr[0])
         new_pts, new_ok = select_features(
             resp, self.static_mask,
             jnp.zeros((1, 2), self.dtype), jnp.zeros((1,), bool),
             self.max_cnt, self.min_dist,
         )
-        return pyr, new_pts, new_ok
+        return new_pts, new_ok
 
-    def _step_impl(self, pyr_prev, img, pos, valid, key, publish: bool):
-        """Fused per-frame device step.
+    def _step_impl(self, pyr_prev, pyr, pos, valid, key, publish: bool):
+        """Fused per-frame device step (pyr from the preprocessing dispatch).
 
-        Returns (pyr_next, pts_next, status, bearings, new_pts, new_ok).
+        Returns (pts_next, status, bearings, new_pts, new_ok, new_bearings).
         """
-        pyr = self._preprocess(img)
         lk = pyramidal_lk_pallas if self.use_pallas else pyramidal_lk
         pts_next, ok = lk(
             list(pyr_prev), list(pyr), pos, valid, self.n_levels
@@ -145,7 +159,7 @@ class FrontEnd:
 
         bearings = self._lift(pts_next)
         new_bearings = self._lift(new_pts)
-        return pyr, pts_next, status, bearings, new_pts, new_ok, new_bearings
+        return pts_next, status, bearings, new_pts, new_ok, new_bearings
 
     # ----------------------------------------------------------------- frame
     def process_arrays(self, img: np.ndarray, t: float, publish: bool = True):
@@ -162,7 +176,8 @@ class FrontEnd:
         valid = self.ids >= 0
 
         if self.prev_pyr is None:
-            pyr, new_pts, new_ok = self._first(img_dev)
+            pyr = self._pre(img_dev)
+            new_pts, new_ok = self._first(pyr)
             new_pts, new_ok = jax.device_get((new_pts, new_ok))
             sel = np.where(new_ok)[0][: self.N]
             k = len(sel)
@@ -177,14 +192,36 @@ class FrontEnd:
             return None
 
         self.key, sub = jax.random.split(self.key)
-        outs = self._step(
-            self.prev_pyr, img_dev,
+        pyr = self._pre(img_dev)
+        step_args = (
+            self.prev_pyr, pyr,
             jnp.asarray(self.pos, self.dtype), jnp.asarray(valid),
-            sub, publish=publish,
+            sub,
         )
-        pyr = outs[0]
+        try:
+            outs = self._step(*step_args, publish=publish)
+        except Exception as e:  # noqa: BLE001 — kernel compile failures
+            if not self.use_pallas:
+                raise
+            # The Pallas KLT kernel failed to compile/run on this backend.
+            # Fall back LOUDLY to the pure-XLA tracker so the pipeline is
+            # never bricked by a kernel regression.
+            import warnings
+
+            msg = (
+                f"Pallas KLT kernel failed on backend "
+                f"'{jax.default_backend()}' — falling back to the XLA "
+                f"tracker path. Error: {type(e).__name__}: {str(e)[:500]}"
+            )
+            print(f"[lfvio_tpu] WARNING: {msg}", file=__import__("sys").stderr)
+            warnings.warn(msg, RuntimeWarning)
+            self.use_pallas = False
+            self._step = jax.jit(
+                self._step_impl, static_argnames=("publish",)
+            )
+            outs = self._step(*step_args, publish=publish)
         pts_next, status, bearings, new_pts, new_ok, new_bearings = (
-            jax.device_get(outs[1:])
+            jax.device_get(outs)
         )
         pts_next = pts_next.astype(np.float64)
         status = status & valid

@@ -1,0 +1,74 @@
+"""On-hardware smoke tests: run ONLY when the session is attached to a real
+TPU backend. These exist because interpreter-mode parity cannot catch Mosaic
+compile failures (round-2 lesson: the KLT kernel passed interpreter parity
+but failed `vector.load` sublane-alignment on the chip).
+
+Run with:  LFVIO_TEST_PLATFORM=axon python -m pytest tests/test_tpu_smoke.py -v
+(conftest.py forces the CPU mesh otherwise).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "tpu":  # pragma: no cover
+    pytest.skip(
+        "requires a real TPU backend (LFVIO_TEST_PLATFORM=axon)",
+        allow_module_level=True,
+    )
+
+
+def test_pallas_lk_compiles_and_tracks_on_tpu():
+    """The Pallas KLT kernel must COMPILE (Mosaic) and track on the chip."""
+    from lfvio_tpu.frontend import gaussian_pyramid
+    from lfvio_tpu.frontend.klt_pallas import pyramidal_lk_pallas
+
+    rng = np.random.default_rng(0)
+    H, W = 240, 384
+    img = rng.random((H // 8, W // 8)).astype(np.float32)
+    img0 = np.kron(img, np.ones((8, 8), np.float32)) * 255.0
+    # integer shift by (3, 2): features move +3 in x, +2 in y
+    img1 = np.roll(img0, (2, 3), (0, 1))
+
+    pts = np.stack(
+        [rng.uniform(60, W - 60, 16), rng.uniform(60, H - 60, 16)], -1
+    ).astype(np.float32)
+    pyr0 = gaussian_pyramid(jnp.asarray(img0), 2)
+    pyr1 = gaussian_pyramid(jnp.asarray(img1), 2)
+    out, ok = pyramidal_lk_pallas(
+        list(pyr0), list(pyr1), jnp.asarray(pts),
+        jnp.ones(16, bool), 2, interpret=False,
+    )
+    out, ok = np.asarray(out), np.asarray(ok)
+    assert ok.sum() >= 12
+    flow = out[ok] - pts[ok]
+    err = np.linalg.norm(flow - np.array([3.0, 2.0]), axis=-1)
+    assert np.median(err) < 0.35, (np.median(err), flow[:4])
+
+
+def test_frontend_step_runs_on_tpu():
+    """The full fused tracker step (with the Pallas kernel enabled by
+    default on TPU) runs a frame pair without falling back."""
+    from lfvio_tpu.runtime.tracker import FrontEnd
+    from lfvio_tpu.runtime.synthetic import (
+        SyntheticWorld, make_synthetic_pal_camera, SYN_MAX_R, SYN_MIN_R,
+    )
+
+    W, H = 512, 384
+    cam = make_synthetic_pal_camera(W, H, dtype=jnp.float32)
+    world = SyntheticWorld(camera=cam, width=W, height=H)
+    fe = FrontEnd(
+        cam, (H, W), max_cnt=100, min_dist=16, n_slots=128,
+        annulus=(W / 2.0, H / 2.0, SYN_MAX_R, SYN_MIN_R),
+        dtype=jnp.float32,
+    )
+    assert fe.use_pallas  # TPU default path
+    fe.process_arrays(world.render_u8(0.0), 0.0)
+    out = fe.process_arrays(world.render_u8(0.1), 0.1)
+    assert fe.use_pallas, "tracker silently fell back to the XLA path"
+    assert out is not None
+    ids, bearings, vels, rows, pub = out
+    assert pub.sum() >= 30
+    nb = np.linalg.norm(bearings[pub], axis=-1)
+    np.testing.assert_allclose(nb, 1.0, atol=1e-3)

@@ -11,10 +11,13 @@ slots* (landmarks + their observation grid) across chips. Each device:
   4. solves the reduced 172×172 system redundantly (cheaper than sharding a
      matrix this small), and back-substitutes its local inverse depths.
 
-IMU factors and the marginalization prior involve only pose blocks and are
-evaluated on one logical copy (device 0's contribution) to avoid double
-counting. The LM accept/reject loop runs in SPMD lockstep — every device
-sees identical psum'd costs, so control flow never diverges.
+IMU factors and the marginalization prior involve only pose blocks; they are
+evaluated REPLICATED on every shard with their square-root weights scaled by
+1/√n, so the psum reconstructs each exactly once ((J/√n)ᵀ(J/√n) summed over
+n shards = JᵀJ). Replicating this tiny work keeps all devices busy — the
+alternative (evaluate on shard 0, mask elsewhere) idles n-1 devices for that
+portion of the program. The LM accept/reject loop runs in SPMD lockstep —
+every device sees identical psum'd costs, so control flow never diverges.
 """
 
 from __future__ import annotations
@@ -85,22 +88,25 @@ def lm_solve_sharded(
     )
     prior_specs = jax.tree_util.tree_map(lambda _: P(), prior)
 
+    inv_sqrt_n = 1.0 / (n_dev ** 0.5)
+
+    def _scaled_shared(si_, pr_):
+        """IMU sqrt-info and prior scaled by 1/√n: replicated evaluation on
+        every shard psums back to exactly one copy of JᵀJ, Jᵀr and ½rᵀr."""
+        si_s = si_ * inv_sqrt_n
+        pr_s = PriorFactor(
+            J=pr_.J * inv_sqrt_n, r0=pr_.r0 * inv_sqrt_n,
+            x0_p=pr_.x0_p, x0_q=pr_.x0_q, x0_v=pr_.x0_v,
+            x0_ba=pr_.x0_ba, x0_bg=pr_.x0_bg, x0_tic=pr_.x0_tic,
+            x0_qic=pr_.x0_qic, x0_td=pr_.x0_td, valid=pr_.valid,
+        )
+        return si_s, pr_s
+
     def local_normal_eqs(s, g, pre_, si_, iv_, pr_):
         """Per-shard normal equations; pose part psum'd across shards."""
-        is_first = jax.lax.axis_index(axis) == 0
-        # Feature/projection part: local shard only. IMU+prior: only on the
-        # first shard (masked elsewhere) to avoid double counting in psum.
-        iv_local = iv_ & is_first
-        pr_local = jax.tree_util.tree_map(lambda x: x, pr_)
-        pr_local = PriorFactor(
-            J=jnp.where(is_first, pr_.J, jnp.zeros_like(pr_.J)),
-            r0=pr_.r0, x0_p=pr_.x0_p, x0_q=pr_.x0_q, x0_v=pr_.x0_v,
-            x0_ba=pr_.x0_ba, x0_bg=pr_.x0_bg, x0_tic=pr_.x0_tic,
-            x0_qic=pr_.x0_qic, x0_td=pr_.x0_td,
-            valid=pr_.valid & is_first,
-        )
+        si_s, pr_s = _scaled_shared(si_, pr_)
         H_pp, H_pl, H_ll, b_p, b_l, cost = assemble_normal_equations(
-            s, g, pre_, si_, iv_local, pr_local, gravity, cfg
+            s, g, pre_, si_s, iv_, pr_s, gravity, cfg
         )
         H_pp = jax.lax.psum(H_pp, axis)
         b_p = jax.lax.psum(b_p, axis)
@@ -108,15 +114,9 @@ def lm_solve_sharded(
         return H_pp, H_pl, H_ll, b_p, b_l, cost
 
     def local_cost(s, g, pre_, si_, iv_, pr_):
-        is_first = jax.lax.axis_index(axis) == 0
-        iv_local = iv_ & is_first
-        pr_local = PriorFactor(
-            J=pr_.J, r0=pr_.r0, x0_p=pr_.x0_p, x0_q=pr_.x0_q, x0_v=pr_.x0_v,
-            x0_ba=pr_.x0_ba, x0_bg=pr_.x0_bg, x0_tic=pr_.x0_tic,
-            x0_qic=pr_.x0_qic, x0_td=pr_.x0_td, valid=pr_.valid & is_first,
-        )
+        si_s, pr_s = _scaled_shared(si_, pr_)
         return jax.lax.psum(
-            total_cost(s, g, pre_, si_, iv_local, pr_local, gravity, cfg), axis
+            total_cost(s, g, pre_, si_s, iv_, pr_s, gravity, cfg), axis
         )
 
     @partial(

@@ -25,7 +25,7 @@ import numpy as np
 
 from .. import geom
 from ..geom import host as hg
-from ..imu import ImuNoise, preintegrate, whiten_covariance
+from ..imu import ImuNoise, preintegrate_parallel, whiten_covariance
 from ..backend import (
     WindowState,
     FeatureGrid,
@@ -144,6 +144,8 @@ class Estimator:
 
         self.ex_calib = ExtrinsicRotationCalibrator()
         self.extrinsic_calibrated = not cfg.calib_extrinsic_rotation
+        # Deferred-solve handle (see process_image_arrays defer_solve).
+        self._pending = None
         # Relocalization hooks (estimator_node.cpp:261-285).
         self.relo_relative_t = None
         self.relo_relative_q = None
@@ -208,7 +210,7 @@ class Estimator:
         # (= repropagate every frame; the functional form makes this free of
         # the reference's bias-drift bookkeeping, integration_base.h:38-52).
         pre = jax.vmap(
-            lambda d, ac, gy, a_0, g_0, ba, bg: preintegrate(
+            lambda d, ac, gy, a_0, g_0, ba, bg: preintegrate_parallel(
                 d, ac, gy, a_0, g_0, ba, bg, cfg.imu_noise
             )
         )(dts, accs, gyrs, a0, g0, state.ba[:-1], state.bg[:-1])
@@ -221,10 +223,16 @@ class Estimator:
         )
         out = yaw_gauge_fix(out, origin_p0, origin_q0)
 
-        res, rvalid = projection_residuals_grid(
-            out, grid, jnp.asarray(self.scfg.proj_sqrt_info, sd)
-        )
-        rn = jnp.linalg.norm(res, axis=-1)
+        if self.GATE_THRESH < 1e8:
+            # Post-solve reprojection gate (only computed & transferred when
+            # actually enabled — it ships disabled, like the reference's
+            # removeOutlier, so the hot path must not pay for it).
+            res, rvalid = projection_residuals_grid(
+                out, grid, jnp.asarray(self.scfg.proj_sqrt_info, sd)
+            )
+            rn = jnp.linalg.norm(res, axis=-1)
+        else:
+            rn = rvalid = None
         return out, pre, sqrt_info, imu_valid, rn, rvalid, c0, c1
 
     def _marg_old_impl(self, out, grid, pre, sqrt_info, imu_valid, prior):
@@ -285,11 +293,22 @@ class Estimator:
         return PriorFactor.empty(dtype=dtype or self.cfg.solver_dtype)
 
     # ------------------------------------------------------------------ frame
-    def process_image_arrays(self, ids, bearings, vels, rows, mask, t: float):
+    def process_image_arrays(
+        self, ids, bearings, vels, rows, mask, t: float, defer_solve=False
+    ):
         """Estimator::processImage (estimator.cpp:122-220), array interface.
 
         ids/bearings/vels/rows: per-slot arrays from FrontEnd.process_arrays;
         mask selects the published observations.
+
+        defer_solve=True dispatches the frame's device programs but leaves
+        the host-side completion (write-back, failure check, window slide,
+        trajectory record) pending until :meth:`finalize_solve` — the
+        pipeline finalizes at the NEXT frame so the solve's device→host
+        synchronization is shared with the tracker's (one round trip per
+        frame instead of two; worth ~55 ms/frame on a network-tunneled TPU).
+        No estimator state may be mutated between dispatch and finalize —
+        the pipeline queues incoming IMU samples for replay.
         """
         cfg = self.cfg
         sel = np.where(np.asarray(mask))[0]
@@ -359,11 +378,9 @@ class Estimator:
                     self.initial_timestamp = t
                 if ok:
                     self.solver_flag = self.NON_LINEAR
-                    self._solve_odometry()
-                    self._slide_window()
-                    self._record_output(t)
-                    self.last_R = hg.quat_to_mat(self.Qs[WINDOW])
-                    self.last_P = self.Ps[WINDOW].copy()
+                    self._dispatch_solve(t, first=True)
+                    if not defer_solve:
+                        self.finalize_solve()
                 else:
                     self._slide_window()
             else:
@@ -376,18 +393,9 @@ class Estimator:
                 self.Bas[j] = self.Bas[j - 1]
                 self.Bgs[j] = self.Bgs[j - 1]
         else:
-            self._solve_odometry()
-            if self._failure_detection():
-                self.failure_occur = True
-                self.clear_state()
-                return
-            self._slide_window()
-            self.fm.remove_failures()
-            self._record_output(t)
-            self.last_R = hg.quat_to_mat(self.Qs[WINDOW])
-            self.last_P = self.Ps[WINDOW].copy()
-            self.last_R0 = hg.quat_to_mat(self.Qs[0])
-            self.last_P0 = self.Ps[0].copy()
+            self._dispatch_solve(t, first=False)
+            if not defer_solve:
+                self.finalize_solve()
 
     def process_image(self, feats: dict, t: float):
         """Dict-interface wrapper: feats id -> (bearing3, vel3, row)."""
@@ -500,7 +508,10 @@ class Estimator:
         return True
 
     # ----------------------------------------------------------------- solve
-    def _solve_odometry(self):
+    def _dispatch_solve(self, t: float, first: bool = False):
+        """Launch the frame's solve + marginalization device programs without
+        synchronizing; completion state goes to ``self._pending`` for
+        :meth:`finalize_solve`."""
         if self.frame_count < WINDOW:
             return
         sd = self.cfg.solver_dtype
@@ -532,13 +543,47 @@ class Estimator:
             new_prior = self._marg_new(out, prior)
         # The prior stays device-resident; only the window state comes back.
         self.prior = new_prior
-        host = jax.device_get(
-            (out.p, out.q, out.v, out.ba, out.bg,
-             out.tic, out.qic, out.td, out.inv_depth)
+        self._pending = dict(
+            device=(
+                (out.p, out.q, out.v, out.ba, out.bg,
+                 out.tic, out.qic, out.td, out.inv_depth),
+                rn, rvalid,
+            ),
+            t=t,
+            first=first,
         )
-        self._write_back(*host)
-        if self.GATE_THRESH < 1e8:
+
+    def pending_solve_refs(self):
+        """Device arrays of the pending solve (None when nothing pending) —
+        for a caller-batched jax.device_get shared with other fetches."""
+        return None if self._pending is None else self._pending["device"]
+
+    def finalize_solve(self, host=None):
+        """Complete a pending solve: write-back, (optional) outlier gate,
+        failure detection, window slide, trajectory record. ``host`` may
+        carry the already-fetched values of :meth:`pending_solve_refs`."""
+        if self._pending is None:
+            return
+        pend, self._pending = self._pending, None
+        if host is None:
+            host = jax.device_get(pend["device"])
+        state_host, rn, rvalid = host
+        self._write_back(*state_host)
+        if rn is not None:
             self._gate_observations(np.asarray(rn), np.asarray(rvalid))
+        if not pend["first"] and self._failure_detection():
+            self.failure_occur = True
+            self.clear_state()
+            return
+        self._slide_window()
+        if not pend["first"]:
+            self.fm.remove_failures()
+        self._record_output(pend["t"])
+        self.last_R = hg.quat_to_mat(self.Qs[WINDOW])
+        self.last_P = self.Ps[WINDOW].copy()
+        if not pend["first"]:
+            self.last_R0 = hg.quat_to_mat(self.Qs[0])
+            self.last_P0 = self.Ps[0].copy()
 
     # Reprojection gate: observations with residuals beyond this (sqrt_info
     # units, 1 px ~ 0.667) could be dropped post-solve. A/B on the synthetic

@@ -46,7 +46,11 @@ class FrontEnd:
         border: int = 1,
         dtype=jnp.float32,
         seed: int = 0,
-        use_pallas: bool | None = None,  # None = Pallas kernel on TPU
+        use_pallas: bool = False,  # Pallas LK available but NOT default:
+        # the batched-XLA LK (klt.py shift-matrix matmuls over all features
+        # at once) measures 0.07 ms/frame vs 12.8 ms for the Pallas kernel
+        # on the v5e — the kernel loops features sequentially and starves
+        # the MXU. Kept selectable for A/B and as kernel-infra reference.
     ):
         self.camera = camera
         self.H, self.W = image_size
@@ -57,9 +61,7 @@ class FrontEnd:
         self.n_levels = n_levels
         self.border = border
         self.dtype = dtype
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        self.use_pallas = use_pallas
+        self.use_pallas = bool(use_pallas)
         if annulus is not None:
             self.static_mask = annulus_mask(
                 image_size, *[float(a) for a in annulus], dtype=dtype
@@ -162,40 +164,26 @@ class FrontEnd:
         return pts_next, status, bearings, new_pts, new_ok, new_bearings
 
     # ----------------------------------------------------------------- frame
-    def process_arrays(self, img: np.ndarray, t: float, publish: bool = True):
-        """Run one frame. Returns (ids [N], bearings [N,3], vels [N,3],
-        rows [N], pub_mask [N]) over the slot arrays — pub_mask selects the
-        features the reference would publish (track_cnt > 1,
-        feature_tracker_node.cpp:113-179) — or None on the first frame /
-        when publish=False.
+    def dispatch(self, img, t: float, publish: bool = True):
+        """Launch the frame's device work WITHOUT synchronizing. Returns an
+        opaque handle; pass it (plus, optionally, the already-fetched host
+        values of ``handle[2]``) to :meth:`finalize`.
 
-        Host bookkeeping is fully vectorized numpy; device work is one fused
-        jitted call and one batched device_get.
+        The split exists for latency hiding: a host↔device synchronization
+        has a fixed round-trip cost (tens of ms over a network-tunneled TPU),
+        so the pipeline fetches the tracker's outputs together with the
+        previous frame's estimator outputs in ONE ``jax.device_get``.
         """
         img_dev = jnp.asarray(img)
-        valid = self.ids >= 0
-
         if self.prev_pyr is None:
             pyr = self._pre(img_dev)
-            new_pts, new_ok = self._first(pyr)
-            new_pts, new_ok = jax.device_get((new_pts, new_ok))
-            sel = np.where(new_ok)[0][: self.N]
-            k = len(sel)
-            self.pos[:k] = new_pts[sel]
-            self.ids[:k] = np.arange(self.next_id, self.next_id + k)
-            self.next_id += k
-            self.track_cnt[:k] = 1
-            self.prev_pyr = pyr
-            self.prev_time = t
-            self.prev_bearing = np.zeros((self.N, 3))
-            self.prev_has_bearing = np.zeros(self.N, bool)
-            return None
+            return ("first", pyr, self._first(pyr), t, publish)
 
         self.key, sub = jax.random.split(self.key)
         pyr = self._pre(img_dev)
         step_args = (
             self.prev_pyr, pyr,
-            jnp.asarray(self.pos, self.dtype), jnp.asarray(valid),
+            jnp.asarray(self.pos, self.dtype), jnp.asarray(self.ids >= 0),
             sub,
         )
         try:
@@ -220,9 +208,43 @@ class FrontEnd:
                 self._step_impl, static_argnames=("publish",)
             )
             outs = self._step(*step_args, publish=publish)
-        pts_next, status, bearings, new_pts, new_ok, new_bearings = (
-            jax.device_get(outs)
-        )
+        return ("step", pyr, outs, t, publish)
+
+    def process_arrays(self, img: np.ndarray, t: float, publish: bool = True):
+        """Run one frame synchronously. Returns (ids [N], bearings [N,3],
+        vels [N,3], rows [N], pub_mask [N]) over the slot arrays — pub_mask
+        selects the features the reference would publish (track_cnt > 1,
+        feature_tracker_node.cpp:113-179) — or None on the first frame /
+        when publish=False.
+
+        Host bookkeeping is fully vectorized numpy; device work is one fused
+        jitted call and one batched device_get.
+        """
+        return self.finalize(self.dispatch(img, t, publish))
+
+    def finalize(self, handle, host_outs=None):
+        """Complete a dispatched frame: device_get (unless the caller already
+        fetched ``handle[2]``) + host slot bookkeeping."""
+        kind, pyr, outs, t, publish = handle
+        if host_outs is None:
+            host_outs = jax.device_get(outs)
+
+        if kind == "first":
+            new_pts, new_ok = host_outs
+            sel = np.where(new_ok)[0][: self.N]
+            k = len(sel)
+            self.pos[:k] = new_pts[sel]
+            self.ids[:k] = np.arange(self.next_id, self.next_id + k)
+            self.next_id += k
+            self.track_cnt[:k] = 1
+            self.prev_pyr = pyr
+            self.prev_time = t
+            self.prev_bearing = np.zeros((self.N, 3))
+            self.prev_has_bearing = np.zeros(self.N, bool)
+            return None
+
+        valid = self.ids >= 0
+        pts_next, status, bearings, new_pts, new_ok, new_bearings = host_outs
         pts_next = pts_next.astype(np.float64)
         status = status & valid
         bearings = bearings.astype(np.float64)

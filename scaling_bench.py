@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scaling measurement for the distributed VIO frame step.
+
+Runs the complete sharded frame step (preint → triangulate → sharded LM BA
+→ gauge → TSQR marginalization) on 1/2/4/8-device meshes and reports
+steps/s + parallel efficiency. On this environment real multi-chip hardware
+is unavailable, so the mesh is the virtual CPU mesh
+(--xla_force_host_platform_device_count); the numbers exercise the real
+collective program (psum/all_gather) and measure sharding overhead, not ICI
+bandwidth. Results are recorded in SCALING.md.
+
+Usage:  python scaling_bench.py [n_features]
+"""
+
+import os
+import sys
+
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import time
+import json
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from lfvio_tpu.backend import SolverConfig
+    from lfvio_tpu.backend.state import NFRAMES
+    from lfvio_tpu.dist import make_feature_mesh, shard_grid, vio_frame_step_sharded
+    from lfvio_tpu.imu import ImuNoise
+    from __graft_entry__ import _tiny_problem
+
+    n_feat = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    dtype = jnp.float32
+    cfg = SolverConfig(max_iterations=8, estimate_td=False, estimate_extrinsic=False)
+    noise = ImuNoise(0.02, 0.01, 0.04, 0.001)
+
+    state, grid, _, _, imu_valid, prior, gravity = _tiny_problem(dtype, n_feat=n_feat)
+    W = NFRAMES - 1
+    M = 32
+    rng = np.random.default_rng(7)
+    dts = jnp.full((W, M), 1.0 / (M * 10.0), dtype)
+    accs = jnp.asarray(
+        np.tile(np.array([0.0, 0.0, 9.81]), (W, M, 1))
+        + 0.01 * rng.standard_normal((W, M, 3)), dtype)
+    gyrs = jnp.asarray(0.01 * rng.standard_normal((W, M, 3)), dtype)
+    a0, g0 = accs[:, 0], gyrs[:, 0]
+
+    results = {}
+    counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    for n_dev in counts:
+        mesh = make_feature_mesh(jax.devices()[:n_dev])
+        sgrid = shard_grid(grid, mesh)
+
+        def step():
+            return vio_frame_step_sharded(
+                mesh, state, sgrid, dts, accs, gyrs, a0, g0, imu_valid,
+                prior, jnp.zeros((n_feat,), bool), state.p[0], state.q[0],
+                noise, cfg, marg_old=True,
+            )
+
+        out = step()
+        jax.block_until_ready((out[0].p, out[1].J))
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = step()
+        jax.block_until_ready((out[0].p, out[1].J))
+        dt = (time.perf_counter() - t0) / reps
+        results[n_dev] = dt
+        speedup = results[1] / dt
+        print(f"n_dev={n_dev}: {dt*1e3:8.1f} ms/step  speedup={speedup:5.2f}x  "
+              f"strong-scaling efficiency={100*speedup/n_dev:5.1f}%",
+              file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "sharded_frame_step_ms",
+        "n_features": n_feat,
+        "per_device_count": {str(k): round(v * 1e3, 1) for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

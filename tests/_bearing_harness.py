@@ -93,4 +93,5 @@ def run_bearing_stream(
         if k % imu_per_frame == 0:
             pipe.feed_frame(float(ts[k]), ts[k])
         pipe.feed_imu(float(ts[k]), acc[k], om[k])
+    pipe.flush()
     return pipe

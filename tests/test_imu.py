@@ -6,6 +6,7 @@ from lfvio_tpu import geom
 from lfvio_tpu.imu import (
     ImuNoise,
     preintegrate,
+    preintegrate_parallel,
     bias_corrected_delta,
     imu_residual,
     propagate_state_midpoint,
@@ -100,6 +101,38 @@ def test_padding_is_noop():
     np.testing.assert_allclose(pre_a.delta_q, pre_b.delta_q, atol=1e-12)
     np.testing.assert_allclose(pre_a.covariance, pre_b.covariance, atol=1e-12)
     np.testing.assert_allclose(pre_a.jacobian, pre_b.jacobian, atol=1e-12)
+
+
+def test_parallel_preintegration_matches_sequential():
+    """The associative-scan formulation must reproduce the sequential
+    lax.scan recursion (deltas, 15×15 Jacobian, covariance) including
+    zero-dt padding and non-zero biases."""
+    dt = 0.005
+    t = np.arange(0, 0.25 + dt / 2, dt)
+    _, _, _, acc, gyr = make_imu(t)
+    pad = 7
+    dts = jnp.concatenate([jnp.full((len(t) - 1,), dt), jnp.zeros(pad)])
+    accs = jnp.concatenate([jnp.asarray(acc[1:]), jnp.tile(acc[-1], (pad, 1))])
+    gyrs = jnp.concatenate([jnp.asarray(gyr[1:]), jnp.tile(gyr[-1], (pad, 1))])
+    ba = jnp.asarray([3e-3, -2e-3, 1e-3])
+    bg = jnp.asarray([-1e-3, 2e-3, -3e-3])
+    args = (dts, accs, gyrs, jnp.asarray(acc[0]), jnp.asarray(gyr[0]), ba, bg, NOISE)
+
+    pre_s = preintegrate(*args)
+    pre_p = preintegrate_parallel(*args)
+    # Tolerances: the sequential path evaluates R1 from the *unnormalized*
+    # post-step quaternion (matching the reference's Eigen code, which calls
+    # toRotationMatrix before delta_q.normalize()); the parallel path uses
+    # normalized prefixes. The O(|ω·dt|²/8 ≈ 1e-6) relative difference is an
+    # integration-detail ambiguity, orders below the IMU noise floor.
+    np.testing.assert_allclose(pre_p.delta_p, pre_s.delta_p, atol=1e-8)
+    np.testing.assert_allclose(pre_p.delta_v, pre_s.delta_v, atol=1e-8)
+    np.testing.assert_allclose(
+        geom.quat_box_minus(pre_p.delta_q, pre_s.delta_q), np.zeros(3), atol=1e-9
+    )
+    np.testing.assert_allclose(pre_p.jacobian, pre_s.jacobian, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(pre_p.covariance, pre_s.covariance, rtol=2e-5, atol=1e-12)
+    np.testing.assert_allclose(float(pre_p.sum_dt), float(pre_s.sum_dt), atol=1e-12)
 
 
 def test_bias_jacobian_matches_reintegration():

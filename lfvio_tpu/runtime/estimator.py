@@ -251,28 +251,38 @@ class Estimator:
     # ----------------------------------------------------------- preint build
     def _padded_window_arrays(self):
         """Padded IMU sample arrays for the whole window — maintained
-        incrementally by process_imu / the slide ops, so this is just views
-        (no per-frame list rebuilding; was ~10 ms/frame of host time)."""
+        incrementally by process_imu / the slide ops (no per-frame list
+        rebuilding; was ~10 ms/frame of host time).
+
+        Returns COPIES, not views: the solve is dispatched asynchronously
+        and ``jnp.asarray`` of a same-dtype numpy array may alias it
+        (zero-copy on CPU; immutable-until-transfer-completes on TPU), so
+        handing out the live buffers that the slide ops mutate in place is
+        a read/write race — observed as rare nondeterministic solves on the
+        f64 CPU test mesh."""
         valid = (self._imu_n[1:] > 0) & (self._imu_sumdt[1:] < 10.0)
         return (
-            self._imu_dts[1:], self._imu_accs[1:], self._imu_gyrs[1:],
-            self._imu_a0[1:], self._imu_g0[1:], valid,
+            self._imu_dts[1:].copy(), self._imu_accs[1:].copy(),
+            self._imu_gyrs[1:].copy(),
+            self._imu_a0[1:].copy(), self._imu_g0[1:].copy(), valid,
         )
 
     # ---------------------------------------------------------------- helpers
     def _device_state(self, dtype=None):
+        # .copy() on every live host mirror: the dispatch is async and
+        # jnp.asarray may alias/borrow the buffer (see _padded_window_arrays).
         sd = dtype or self.cfg.solver_dtype
         inv_depth = np.where(
             self.fm.depth > 0, 1.0 / np.maximum(self.fm.depth, 1e-6), 1.0
         )
         return WindowState(
-            p=jnp.asarray(self.Ps, sd),
-            q=jnp.asarray(self.Qs, sd),
-            v=jnp.asarray(self.Vs, sd),
-            ba=jnp.asarray(self.Bas, sd),
-            bg=jnp.asarray(self.Bgs, sd),
-            tic=jnp.asarray(self.tic, sd),
-            qic=jnp.asarray(self.qic, sd),
+            p=jnp.asarray(self.Ps.copy(), sd),
+            q=jnp.asarray(self.Qs.copy(), sd),
+            v=jnp.asarray(self.Vs.copy(), sd),
+            ba=jnp.asarray(self.Bas.copy(), sd),
+            bg=jnp.asarray(self.Bgs.copy(), sd),
+            tic=jnp.asarray(self.tic.copy(), sd),
+            qic=jnp.asarray(self.qic.copy(), sd),
             td=jnp.asarray(self.td, sd),
             inv_depth=jnp.asarray(inv_depth, sd),
         )
@@ -281,11 +291,11 @@ class Estimator:
         sd = dtype or self.cfg.solver_dtype
         b, v, tdo, val, anc, used = self.fm.device_grid_arrays()
         return FeatureGrid(
-            bearing=jnp.asarray(b, sd),
-            velocity=jnp.asarray(v, sd),
-            td_obs=jnp.asarray(tdo, sd),
-            valid=jnp.asarray(val),
-            anchor=jnp.asarray(anc),
+            bearing=jnp.asarray(b.copy(), sd),
+            velocity=jnp.asarray(v.copy(), sd),
+            td_obs=jnp.asarray(tdo.copy(), sd),
+            valid=jnp.asarray(val.copy()),
+            anchor=jnp.asarray(anc.copy()),
             used=jnp.asarray(used),
         )
 
@@ -294,7 +304,8 @@ class Estimator:
 
     # ------------------------------------------------------------------ frame
     def process_image_arrays(
-        self, ids, bearings, vels, rows, mask, t: float, defer_solve=False
+        self, ids, bearings, vels, rows, mask, t: float, defer_solve=False,
+        td_pair=None,
     ):
         """Estimator::processImage (estimator.cpp:122-220), array interface.
 
@@ -318,14 +329,18 @@ class Estimator:
         # td_obs per observation: td at measurement time minus the rolling-
         # shutter row term (projection_td_factor.cpp:21-22,53-56:
         # correction = (td - td_i + TR/ROW*(row - ROW/2)) * vel).
+        # td_obs must record the td actually used for IMU pairing (the
+        # pipeline pairs before finalize_solve may update self.td); falling
+        # back to self.td covers direct callers without a pipeline.
+        td_rec = self.td if td_pair is None else td_pair
         tr = cfg.rolling_shutter_tr
         if tr != 0.0:
             rows_s = np.asarray(rows, np.float64)[sel]
-            tds = self.td - (tr / cfg.image_rows) * (
+            tds = td_rec - (tr / cfg.image_rows) * (
                 rows_s - cfg.image_rows / 2.0
             )
         else:
-            tds = np.full(len(sel), self.td)
+            tds = np.full(len(sel), td_rec)
         is_keyframe = self.fm.add_frame_arrays(
             self.frame_count, ids_s, b_s, v_s, tds, cfg.min_parallax
         )

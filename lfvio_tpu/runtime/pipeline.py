@@ -79,7 +79,13 @@ class VioPipeline:
                 gyr_i = (1 - w) * prev[2] + w * gyr
                 self._est_imu_queue.append((t_sync - prev[0], acc_i, gyr_i))
                 prev = (t_sync, acc_i, gyr_i)
-            self._process_frame(t_f, img)
+            # Pass the PAIRING-time td along: finalize_solve may update
+            # self.est.td before the frame is processed, and recording a
+            # different td_obs than the one used for IMU pairing is a
+            # positive-feedback loop on the td estimate (each observation's
+            # correction (td - td_i)·vel under-corrects while td is moving,
+            # so the estimate overshoots its equilibrium).
+            self._process_frame(t_f, img, td_pair=t_sync - t_f)
         dt = 0.0 if prev is None else t - prev[0]
         self._est_imu_queue.append((dt, acc, gyr))
         self._last_imu = (t, acc, gyr)
@@ -168,7 +174,7 @@ class VioPipeline:
             self.on_odometry, self.high_rate = hold
         self._recent_imu = remaining
 
-    def _process_frame(self, t, img):
+    def _process_frame(self, t, img, td_pair=None):
         """One frame, ONE host↔device round trip (latency-hiding pipeline):
 
           1. dispatch the tracker's device step for frame k (async);
@@ -212,9 +218,12 @@ class VioPipeline:
             if pub.any():
                 self._last_pub_t = t
                 self.est.process_image_arrays(
-                    ids, bearings, vels, rows, pub, t, defer_solve=True
+                    ids, bearings, vels, rows, pub, t, defer_solve=True,
+                    td_pair=td_pair,
                 )
-                self._last_sync_t = t + self._td_now
+                self._last_sync_t = (
+                    t + td_pair if td_pair is not None else t + self._td_now
+                )
 
     def flush(self):
         """Complete any in-flight solve (call at stream end / before

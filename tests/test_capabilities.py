@@ -40,7 +40,12 @@ def test_td_estimation_recovers_planted_offset(world, landmarks):
         td_true=td_true,
     )
     assert est.solver_flag == est.NON_LINEAR, "init failed"
-    assert abs(est.td - td_true) < 1e-3, f"td={est.td:.5f} vs {td_true}"
+    # Measured recovery on this harness: |error| ~ 6e-6 s. The two fixes
+    # that got it there (round 4): record td_obs at IMU-pairing time (not
+    # post-finalize — a positive-feedback loop while td is moving), and
+    # snapshot host buffers at the async dispatch boundary (aliased numpy
+    # views raced with the in-flight solve).
+    assert abs(est.td - td_true) < 5e-4, f"td={est.td:.5f} vs {td_true}"
     # And it actually moved (started at 0).
     assert abs(est.td) > 3e-3
 
@@ -52,9 +57,9 @@ def test_td_stays_zero_without_offset(world, landmarks):
     ))
     run_bearing_stream(est, world_td, landmarks, duration=4.0, frame_rate=20.0)
     assert est.solver_flag == est.NON_LINEAR
-    # Sub-ms wander is expected (td observability scales with excitation and
-    # the 8-device CPU mesh reorders reductions); no systematic runaway.
-    assert abs(est.td) < 1.5e-3, est.td
+    # Measured: |td| settles below 1e-7 s on exact data (transient peaks at
+    # a few µs); 5e-4 leaves two orders of margin.
+    assert abs(est.td) < 5e-4, est.td
 
 
 def test_online_extrinsic_rotation_calibration(world, landmarks):

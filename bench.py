@@ -69,7 +69,7 @@ def main():
     world = SyntheticWorld(camera=cam, width=W, height=H)
 
     frame_rate, imu_rate = 15.0, 200.0
-    duration = 6.0
+    duration = float(os.environ.get("LFVIO_BENCH_DURATION", "6.0"))
     stream = world.generate(duration, frame_rate, imu_rate)  # one device call
     log(f"stream generated: {len(stream)} events "
         f"({sum(1 for e in stream if e[0] == 'frame')} frames)")

@@ -319,6 +319,80 @@ def _schur_solve(H_pp, H_pl, H_ll, b_p, b_l, lam, used, dtype):
     return dx, dlam
 
 
+def lm_loop(state, lin_fn, solve_fn, cost_fn, cfg: SolverConfig,
+            max_iter_dyn=None):
+    """Generic Levenberg-Marquardt accept/reject loop (shared by the
+    single-chip and the feature-sharded solver so their iteration semantics
+    stay bit-identical). Three hot-path properties:
+
+      * Linearization REUSE: ``lin_fn`` (the expensive Jacobian assembly)
+        runs only when the previous step was accepted; a rejected step
+        re-solves the SAME normal equations with more damping (the
+        reference's Ceres does exactly this across trust-region retries).
+      * Cost-plateau EARLY EXIT: once an accepted step improves the cost by
+        less than ``cfg.cost_tol`` (relative — Ceres function_tolerance),
+        remaining scan iterations become no-ops via lax.cond, costing ~µs
+        instead of a full linearize+solve.
+      * DYNAMIC iteration budget: ``max_iter_dyn`` (a device scalar) caps
+        the iterations at runtime without recompiling — the host derives it
+        from the reference's wall-clock budget `max_solver_time`
+        (estimator.cpp:810-825; ×0.8 when marginalizing old).
+    """
+    dtype = state.p.dtype
+    limit = jnp.asarray(
+        cfg.max_iterations if max_iter_dyn is None else max_iter_dyn,
+        jnp.int32,
+    )
+
+    init_cost = cost_fn(state)
+    init_cost = jnp.where(jnp.isfinite(init_cost), init_cost, jnp.inf)
+    lam0 = jnp.asarray(cfg.init_lambda, dtype)
+    lin0 = lin_fn(state, zeros_like=True)
+
+    def step(carry, it):
+        s, lam_damp, cost, lin, need_lin, done = carry
+        done = done | (it >= limit)
+
+        def work(_):
+            lin_cur = jax.lax.cond(
+                need_lin, lambda: lin_fn(s), lambda: lin
+            )
+            dx, dlam = solve_fn(lin_cur, lam_damp)
+            # A non-finite step (singular damped system) must be rejected,
+            # not propagated — NaNs would freeze the accept test forever.
+            step_ok = jnp.isfinite(dx).all() & jnp.isfinite(dlam).all()
+            dx_s = jnp.where(step_ok, dx, 0.0)
+            dlam_s = jnp.where(step_ok, dlam, 0.0)
+            s_new = apply_delta(s, dx_s, dlam_s, cfg)
+            new_cost = cost_fn(s_new)
+            new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
+            accept = step_ok & (new_cost < cost)
+            rel_impr = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+            conv = accept & (rel_impr < cfg.cost_tol)
+            s_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), s_new, s
+            )
+            lam_next = jnp.where(accept, lam_damp * 0.4, lam_damp * 8.0)
+            lam_next = jnp.clip(lam_next, 1e-9, 1e6)
+            cost_next = jnp.where(accept, new_cost, cost)
+            return s_next, lam_next, cost_next, lin_cur, accept, conv
+
+        def skip(_):
+            return s, lam_damp, cost, lin, need_lin, done
+
+        s2, lam2, cost2, lin2, need2, done2 = jax.lax.cond(
+            done, skip, work, None
+        )
+        return (s2, lam2, cost2, lin2, need2, done2 | done), cost2
+
+    carry0 = (state, lam0, init_cost, lin0,
+              jnp.asarray(True), jnp.asarray(False))
+    (state_out, _, final_cost, _, _, _), cost_hist = jax.lax.scan(
+        step, carry0, jnp.arange(cfg.max_iterations)
+    )
+    return state_out, init_cost, final_cost, cost_hist
+
+
 def lm_solve(
     state: WindowState,
     grid: FeatureGrid,
@@ -328,43 +402,30 @@ def lm_solve(
     prior: PriorFactor,
     gravity,
     cfg: SolverConfig,
+    max_iter_dyn=None,
 ):
     """Levenberg-Marquardt over the window, ≤ cfg.max_iterations iterations
-    (reference: ceres DOGLEG with max 8 iterations, estimator.cpp:815-825)."""
+    (reference: ceres DOGLEG with max 8 iterations and a wall budget,
+    estimator.cpp:810-825 — the budget maps to max_iter_dyn, see lm_loop)."""
     dtype = state.p.dtype
+    F, W1 = grid.valid.shape
+    D = pose_dim(W1)
+
+    def lin_fn(s, zeros_like=False):
+        if zeros_like:
+            z = jnp.zeros
+            return (z((D, D), dtype), z((D, F), dtype), z((F,), dtype),
+                    z((D,), dtype), z((F,), dtype))
+        H_pp, H_pl, H_ll, b_p, b_l, _ = assemble_normal_equations(
+            s, grid, pre, sqrt_info_imu, imu_valid, prior, gravity, cfg
+        )
+        return H_pp, H_pl, H_ll, b_p, b_l
+
+    def solve_fn(lin, lam):
+        H_pp, H_pl, H_ll, b_p, b_l = lin
+        return _schur_solve(H_pp, H_pl, H_ll, b_p, b_l, lam, grid.used, dtype)
 
     def cost_fn(s):
         return total_cost(s, grid, pre, sqrt_info_imu, imu_valid, prior, gravity, cfg)
 
-    def step(carry, _):
-        s, lam_damp, cost = carry
-        H_pp, H_pl, H_ll, b_p, b_l, _ = assemble_normal_equations(
-            s, grid, pre, sqrt_info_imu, imu_valid, prior, gravity, cfg
-        )
-        dx, dlam = _schur_solve(
-            H_pp, H_pl, H_ll, b_p, b_l, lam_damp, grid.used, dtype
-        )
-        # A non-finite step (singular damped system) must be rejected, not
-        # propagated — NaNs would freeze the accept test forever.
-        step_ok = jnp.isfinite(dx).all() & jnp.isfinite(dlam).all()
-        dx = jnp.where(step_ok, dx, 0.0)
-        dlam = jnp.where(step_ok, dlam, 0.0)
-        s_new = apply_delta(s, dx, dlam, cfg)
-        new_cost = cost_fn(s_new)
-        new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
-        accept = step_ok & (new_cost < cost)
-        s_next = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), s_new, s
-        )
-        lam_next = jnp.where(accept, lam_damp * 0.4, lam_damp * 8.0)
-        lam_next = jnp.clip(lam_next, 1e-9, 1e6)
-        cost_next = jnp.where(accept, new_cost, cost)
-        return (s_next, lam_next, cost_next), cost_next
-
-    init_cost = cost_fn(state)
-    init_cost = jnp.where(jnp.isfinite(init_cost), init_cost, jnp.inf)
-    lam0 = jnp.asarray(cfg.init_lambda, dtype)
-    (state_out, _, final_cost), cost_hist = jax.lax.scan(
-        step, (state, lam0, init_cost), None, length=cfg.max_iterations
-    )
-    return state_out, init_cost, final_cost, cost_hist
+    return lm_loop(state, lin_fn, solve_fn, cost_fn, cfg, max_iter_dyn)

@@ -187,6 +187,11 @@ class SolverConfig:
     cauchy_c: float = 1.0  # CauchyLoss(1.0) (estimator.cpp:681)
     init_lambda: float = 1e-4
     min_inv_depth: float = 1e-3  # clamp; reference resets negative depths
+    # Relative cost-plateau threshold for LM early exit (Ceres
+    # function_tolerance analogue). Accepted steps improving the cost by
+    # less than this fraction stop the iteration; remaining scan slots
+    # become ~free no-ops (lax.cond). 0.0 disables.
+    cost_tol: float = 1e-6
 
     @property
     def proj_sqrt_info(self) -> float:

@@ -29,12 +29,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..backend.state import WindowState, FeatureGrid, PriorFactor, SolverConfig
+from ..backend.state import (
+    WindowState, FeatureGrid, PriorFactor, SolverConfig, pose_dim,
+)
 from ..backend.solver import (
     assemble_normal_equations,
-    _schur_solve,
     apply_delta,
     total_cost,
+    lm_loop,
 )
 
 
@@ -129,48 +131,47 @@ def lm_solve_sharded(
     )
     def solve(s, g, pre_, si_, iv_, pr_):
         dtype = s.p.dtype
+        F_local = g.valid.shape[0]
+        D = pose_dim(g.valid.shape[1])
 
-        def step(carry, _):
-            sc, lam, cost = carry
+        def lin_fn(sc, zeros_like=False):
+            if zeros_like:
+                z = jnp.zeros
+                return (z((D, D), dtype), z((D, F_local), dtype),
+                        z((F_local,), dtype), z((D,), dtype),
+                        z((F_local,), dtype))
             H_pp, H_pl, H_ll, b_p, b_l, _ = local_normal_eqs(
                 sc, g, pre_, si_, iv_, pr_
             )
+            return H_pp, H_pl, H_ll, b_p, b_l
+
+        def solve_fn(lin, lam):
+            H_pp, H_pl, H_ll, b_p, b_l = lin
             # Schur contribution of the local depth shard must be psum'd.
             used_ok = g.used & (H_ll > 1e-12)
             H_ll_safe = jnp.where(used_ok, H_ll, 1.0)
             b_l_safe = jnp.where(used_ok, b_l, 0.0)
             H_pl_safe = jnp.where(used_ok[None, :], H_pl, 0.0)
             inv_Hll = 1.0 / (H_ll_safe * (1.0 + lam))
-            S_local = (H_pl_safe * inv_Hll[None, :]) @ H_pl_safe.T
-            c_local = H_pl_safe @ (inv_Hll * b_l_safe)
-            S = jax.lax.psum(S_local, axis)
-            c = jax.lax.psum(c_local, axis)
+            S = jax.lax.psum((H_pl_safe * inv_Hll[None, :]) @ H_pl_safe.T, axis)
+            c = jax.lax.psum(H_pl_safe @ (inv_Hll * b_l_safe), axis)
             H_red = H_pp - S
             b_red = b_p - c
             diag = jnp.clip(jnp.diag(H_pp), 1e-6, 1e32)
-            D = H_pp.shape[0]
             L = jnp.linalg.cholesky(
                 H_red + lam * jnp.diag(diag) + 1e-10 * jnp.eye(D, dtype=dtype)
             )
             dx = -jax.scipy.linalg.cho_solve((L, True), b_red)
             dlam = -inv_Hll * (b_l_safe + H_pl_safe.T @ dx)
+            return dx, dlam
 
-            s_new = apply_delta(sc, dx, dlam, cfg)
-            new_cost = local_cost(s_new, g, pre_, si_, iv_, pr_)
-            accept = new_cost < cost
-            s_next = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, a, b), s_new, sc
-            )
-            lam_next = jnp.clip(
-                jnp.where(accept, lam * 0.4, lam * 8.0), 1e-9, 1e6
-            )
-            return (s_next, lam_next, jnp.where(accept, new_cost, cost)), None
+        def cost_fn(sc):
+            return local_cost(sc, g, pre_, si_, iv_, pr_)
 
-        c0 = local_cost(s, g, pre_, si_, iv_, pr_)
-        (s_out, _, c1), _ = jax.lax.scan(
-            step, (s, jnp.asarray(cfg.init_lambda, dtype), c0), None,
-            length=cfg.max_iterations,
-        )
+        # Shared loop with the single-chip solver: accept/reject runs in
+        # SPMD lockstep (costs are psum'd, so every device branches the
+        # same way in the lax.cond early-exit).
+        s_out, c0, c1, _ = lm_loop(s, lin_fn, solve_fn, cost_fn, cfg)
         return s_out, c0, c1
 
     return solve(state, grid, pre, sqrt_info_imu, imu_valid, prior)

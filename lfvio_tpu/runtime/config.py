@@ -91,6 +91,7 @@ class RigConfig:
             tic=np.asarray(self.tic, np.float64),
             ric=np.asarray(self.ric, np.float64),
             max_iterations=self.max_num_iterations,
+            max_solver_time=self.max_solver_time,
             solver_dtype=solver_dtype,
             rolling_shutter_tr=(
                 self.rolling_shutter_tr if self.rolling_shutter else 0.0

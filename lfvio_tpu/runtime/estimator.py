@@ -64,6 +64,12 @@ class EstimatorConfig:
     tic: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     ric: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(3))
     max_iterations: int = 8
+    # Reference wall-clock budget per solve (estimator.cpp:810-825):
+    # max_solver_time seconds, ×0.8 when marginalizing old. 0 = unlimited.
+    # Enforced as a DYNAMIC iteration cap (budget / measured per-iteration
+    # device time, see calibrate_solver_budget) passed to the jitted solve —
+    # no recompile, the capped iterations become lax.cond no-ops.
+    max_solver_time: float = 0.0
     solver_dtype: object = jnp.float32
     solve_device: str | None = None  # None = default backend
 
@@ -144,6 +150,9 @@ class Estimator:
 
         self.ex_calib = ExtrinsicRotationCalibrator()
         self.extrinsic_calibrated = not cfg.calib_extrinsic_rotation
+        # Measured per-LM-iteration device time (calibrate_solver_budget);
+        # None until calibrated -> the wall budget cannot bind.
+        self._iter_time = getattr(self, "_iter_time", None)
         # Deferred-solve handle (see process_image_arrays defer_solve).
         self._pending = None
         # Relocalization hooks (estimator_node.cpp:261-285).
@@ -194,7 +203,7 @@ class Estimator:
     # ------------------------------------------------------------- device fns
     def _solve_step_impl(
         self, state, grid, dts, accs, gyrs, a0, g0, imu_valid_in,
-        prior, has_depth, origin_p0, origin_q0,
+        prior, has_depth, origin_p0, origin_q0, max_iter_dyn,
     ):
         """Per-frame solve program: the reference's solveOdometry +
         double2vector (estimator.cpp:475-515, 532-626) as one XLA
@@ -219,7 +228,8 @@ class Estimator:
         inv_d = triangulate_grid(state, grid, has_depth)
         state = dataclasses.replace(state, inv_depth=inv_d)
         out, c0, c1, _ = lm_solve(
-            state, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg
+            state, grid, pre, sqrt_info, imu_valid, prior, gravity, self.scfg,
+            max_iter_dyn=max_iter_dyn,
         )
         out = yaw_gauge_fix(out, origin_p0, origin_q0)
 
@@ -523,6 +533,51 @@ class Estimator:
         return True
 
     # ----------------------------------------------------------------- solve
+    def _iterations_allowed(self) -> int:
+        """Dynamic LM iteration cap implementing the reference's real-time
+        wall budget (estimator.cpp:810-825): max_solver_time seconds per
+        solve, ×0.8 when marginalizing old. Needs a measured per-iteration
+        device time (calibrate_solver_budget); uncalibrated or budget<=0 →
+        the static cap."""
+        cfg = self.cfg
+        if cfg.max_solver_time <= 0 or not self._iter_time:
+            return cfg.max_iterations
+        budget = cfg.max_solver_time * (0.8 if self.marg_old else 1.0)
+        return int(np.clip(budget / self._iter_time, 1, cfg.max_iterations))
+
+    def calibrate_solver_budget(self, n=4):
+        """Measure the solve program's per-iteration device time (chained
+        dispatches, one synchronization) so max_solver_time can bind. Call
+        once after warmup; costs ~n solve executions."""
+        import time as _time
+
+        if self._pending is not None or self.frame_count < WINDOW:
+            return None
+        sd = self.cfg.solver_dtype
+        dts, accs, gyrs, a0l, g0l, imu_valid = self._padded_window_arrays()
+        state = self._device_state()
+        grid = self._device_grid()
+        prior = self.prior if self.prior is not None else self._empty_prior()
+        has_depth = jnp.asarray(self.fm.depth > 0)
+        args = (
+            grid, jnp.asarray(dts, sd), jnp.asarray(accs, sd),
+            jnp.asarray(gyrs, sd), jnp.asarray(a0l, sd), jnp.asarray(g0l, sd),
+            jnp.asarray(imu_valid), prior, has_depth,
+            jnp.asarray(self.Ps[0], sd), jnp.asarray(self.Qs[0], sd),
+            jnp.asarray(self.cfg.max_iterations, jnp.int32),
+        )
+        out = self._solve_step(state, *args)  # ensure compiled
+        jax.block_until_ready(out[0].p)
+        t0 = _time.perf_counter()
+        s = state
+        for _ in range(n):
+            o = self._solve_step(s, *args)
+            s = o[0]
+        jax.block_until_ready(s.p)
+        per_solve = (_time.perf_counter() - t0) / n
+        self._iter_time = per_solve / max(self.cfg.max_iterations, 1)
+        return self._iter_time
+
     def _dispatch_solve(self, t: float, first: bool = False):
         """Launch the frame's solve + marginalization device programs without
         synchronizing; completion state goes to ``self._pending`` for
@@ -551,6 +606,7 @@ class Estimator:
             jnp.asarray(a0l, sd), jnp.asarray(g0l, sd), jnp.asarray(imu_valid),
             prior, has_depth,
             jnp.asarray(origin_p0, sd), jnp.asarray(origin_q0, sd),
+            jnp.asarray(self._iterations_allowed(), jnp.int32),
         )
         if self.marg_old:
             new_prior = self._marg_old(out, grid, pre, sqrt_info, imu_ok, prior)
@@ -567,6 +623,12 @@ class Estimator:
             t=t,
             first=first,
         )
+        # Start the device→host copies NOW: by the time finalize_solve needs
+        # these values (next frame), the transfer has already flown the
+        # tunnel and the harvest costs ~0 instead of a full round trip.
+        for leaf in jax.tree_util.tree_leaves(self._pending["device"]):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
 
     def pending_solve_refs(self):
         """Device arrays of the pending solve (None when nothing pending) —

@@ -35,6 +35,11 @@ class VioPipeline:
         # finalize must see exactly the state at dispatch time.
         self._est_imu_queue = []
         self._last_sync_t = None  # sync time of the frame whose solve is in flight
+        # Depth-2 frame pipeline: tracker dispatches run one frame ahead of
+        # their host processing (the device slot chain advances at dispatch,
+        # so no host sync is needed in between). Each entry:
+        # (handle, t, td_pair, publish, imu_batch-for-that-frame).
+        self._fe_inflight = []
         # High-rate IMU-propagated state (estimator_node.cpp predict/update):
         # the low-latency output between the ~10 Hz solver updates.
         self._recent_imu = []  # samples since the last solved frame
@@ -116,6 +121,7 @@ class VioPipeline:
         self.est.clear_state()
         self._pending = []
         self._est_imu_queue = []
+        self._fe_inflight = []
         self._last_sync_t = None
         self._last_imu = None
         self._recent_imu = []
@@ -175,44 +181,83 @@ class VioPipeline:
         self._recent_imu = remaining
 
     def _process_frame(self, t, img, td_pair=None):
-        """One frame, ONE host↔device round trip (latency-hiding pipeline):
+        """Depth-2 latency-hiding schedule (measured on the tunneled v5e,
+        where any fresh device→host fetch costs a full ~30 ms round trip):
 
-          1. dispatch the tracker's device step for frame k (async);
-          2. fetch frame k's tracker outputs TOGETHER with frame k-1's
-             (already computed) solve outputs in one ``jax.device_get``;
-          3. finalize the k-1 solve (write-back, failure check, slide),
-             replay queued IMU samples, run the tracker/feature bookkeeping;
-          4. dispatch frame k's solve + marginalization (async).
+          frame k arrives:
+            1. dispatch tracker k — the tracker's slot chain (positions,
+               validity) is DEVICE-RESIDENT and advances at dispatch, so
+               this needs nothing from frame k-1's host processing;
+            2. issue copy_to_host_async on its outputs: the copy crosses
+               the tunnel while the host works on older frames;
+            3. process frame k-1 (whose copy has been in flight for a full
+               frame): ONE combined device_get of {tracker k-1 outputs,
+               solve k-2 outputs} → finalize solve k-2, replay frame k-1's
+               IMU batch, tracker bookkeeping, dispatch solve k-1.
 
-        The solve's device time thus overlaps the inter-frame gap, and the
-        per-frame synchronization cost is one round trip — the difference
-        between ~6 and ~12 fps over a network-tunneled TPU. The frame image
-        is passed through as-is: device-resident frames (the bench /
-        production path) must NOT bounce through host memory.
+        Steady state pays ~zero synchronization wait per frame: every
+        harvested value was computed AND copied during the previous frame.
+        Output latency grows by one frame (~1 frame period), matching what
+        the reference's queued solver thread also incurs under load.
+
+        Test-stub frontends (no ``dispatch`` attr) run the same logic
+        synchronously at depth 1 — bit-identical estimator inputs, no
+        device pipelining.
         """
-        import jax
-
         publish = True
         if self.freq > 0 and (t - self._last_pub_t) < 1.0 / self.freq:
             publish = False
-        pend = self.est.pending_solve_refs()
-        if hasattr(self.fe, "dispatch"):
-            handle = self.fe.dispatch(img, t, publish=publish)
-            fe_host, est_host = jax.device_get((handle[2], pend))
-        else:  # duck-typed frontends (test stubs) without async split
-            handle = fe_host = None
+
+        if not hasattr(self.fe, "dispatch"):
+            # Synchronous depth-1 path for duck-typed stub frontends.
+            import jax
+
+            pend = self.est.pending_solve_refs()
             est_host = jax.device_get(pend) if pend is not None else None
-        self.est.finalize_solve(est_host)
-        if pend is not None and self._last_sync_t is not None:
-            # Re-seed the high-rate propagation from the just-finalized solve
-            # (after the slide, Ps[WINDOW] still holds that frame's solved
-            # state) — the reference's update() at solve completion.
-            self._update_tmp_state(self._last_sync_t)
-        self._drain_est_imu()
-        if handle is not None:
-            out = self.fe.finalize(handle, fe_host)
-        else:
+            self.est.finalize_solve(est_host)
+            if pend is not None and self._last_sync_t is not None:
+                self._update_tmp_state(self._last_sync_t)
+            self._drain_est_imu()
             out = self.fe.process_arrays(img, t, publish=publish)
+            self._publish_frame(out, t, td_pair, publish)
+            return
+
+        import jax
+
+        handle = self.fe.dispatch(img, t, publish=publish)
+        for leaf in jax.tree_util.tree_leaves(handle[2]):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        # This frame's estimator IMU batch: everything queued since the
+        # previous frame event (its boundary-interpolated sample included).
+        imu_batch, self._est_imu_queue = self._est_imu_queue, []
+        self._fe_inflight.append((handle, t, td_pair, publish, imu_batch))
+        if len(self._fe_inflight) >= 2:
+            self._advance_one()
+
+    def _advance_one(self):
+        """Process the oldest in-flight frame (host side): harvest its
+        tracker outputs together with the previous solve's, finalize that
+        solve, replay the frame's IMU, and dispatch its own solve."""
+        import jax
+
+        handle, t, td_pair, publish, imu_batch = self._fe_inflight.pop(0)
+        pend = self.est.pending_solve_refs()
+        # ONE combined fetch: the tunnel serves a tree device_get in a
+        # single round trip; both subtrees were async-copied at dispatch.
+        fe_host, est_host = jax.device_get((handle[2], pend))
+        if pend is not None:
+            self.est.finalize_solve(est_host)
+            if self._last_sync_t is not None:
+                # Re-seed the high-rate propagation from the just-finalized
+                # solve — the reference's update() at solve completion.
+                self._update_tmp_state(self._last_sync_t)
+        for dt, acc, gyr in imu_batch:
+            self.est.process_imu(dt, acc, gyr)
+        out = self.fe.finalize(handle, fe_host)
+        self._publish_frame(out, t, td_pair, publish)
+
+    def _publish_frame(self, out, t, td_pair, publish):
         if publish and out is not None:
             ids, bearings, vels, rows, pub = out
             if pub.any():
@@ -226,8 +271,11 @@ class VioPipeline:
                 )
 
     def flush(self):
-        """Complete any in-flight solve (call at stream end / before
-        checkpointing — the last frame's solve is otherwise still pending)."""
+        """Complete all in-flight work (call at stream end / before
+        checkpointing — the last frames' tracker + solve are otherwise
+        still pending)."""
+        while self._fe_inflight:
+            self._advance_one()
         pend = self.est.pending_solve_refs()
         self.est.finalize_solve()
         if pend is not None and self._last_sync_t is not None:

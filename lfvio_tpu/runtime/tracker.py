@@ -70,7 +70,8 @@ class FrontEnd:
             self.static_mask = jnp.ones(image_size, bool)
         self.static_mask_np = np.asarray(self.static_mask)
 
-        # Host slot state.
+        # Host slot state (id bookkeeping; may lag the device chain by one
+        # frame — see dispatch()).
         self.pos = np.zeros((self.N, 2), np.float64)
         self.ids = np.full(self.N, -1, np.int64)
         self.track_cnt = np.zeros(self.N, np.int64)
@@ -80,6 +81,13 @@ class FrontEnd:
         self.prev_bearing = np.zeros((self.N, 3))
         self.prev_has_bearing = np.zeros(self.N, bool)
         self.key = jax.random.PRNGKey(seed)
+        # Device-resident slot chain: (pos [N,2], valid [N]) live on device
+        # and feed the NEXT frame's step directly, so dispatch(k+1) has no
+        # data dependency on finalize(k) — the host can harvest results a
+        # full frame later and a network-tunneled device never stalls the
+        # dispatch path.
+        self._dev_pos = None
+        self._dev_valid = None
 
         # Preprocessing (CLAHE + pyramid) is its own dispatch: embedding the
         # CLAHE sort/LUT in the big fused program trips an XLA scheduling
@@ -99,6 +107,8 @@ class FrontEnd:
         self.prev_time = None
         self.prev_bearing = np.zeros((self.N, 3))
         self.prev_has_bearing = np.zeros(self.N, bool)
+        self._dev_pos = None
+        self._dev_valid = None
 
     # ------------------------------------------------------------- device fns
     def _preprocess(self, img):
@@ -112,20 +122,63 @@ class FrontEnd:
         rays = self.camera.lift_projective(pts)
         return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
 
+    def _assign_slots(self, pos_tracked, status, new_pts, new_ok):
+        """Vectorized device-side slot refill (the reference's
+        goodFeaturesToTrack refill policy, feature_tracker.cpp:158-170):
+        surviving features keep their slots; up to max_cnt − n_alive
+        accepted detections fill the lowest-index free slots in detection
+        order. Runs on device so the slot chain (pos, valid) never touches
+        the host — dispatch(k+1) needs no finalize(k).
+
+        Returns (pos_next [N,2], valid_next [N], new_src [N] int32 — the
+        detection index placed in each slot, −1 if none)."""
+        N = self.N
+        M = new_pts.shape[0]
+        idxN = jnp.arange(N)
+        idxM = jnp.arange(M)
+        n_alive = jnp.sum(status)
+        n_new = jnp.clip(
+            jnp.minimum(self.max_cnt - n_alive, N - n_alive), 0, None
+        )
+        take = jnp.minimum(n_new, jnp.sum(new_ok))
+        # Free slots ascending; accepted detections in detection order.
+        slot_order = jnp.argsort(jnp.where(~status, idxN, N + idxN))
+        new_order = jnp.argsort(jnp.where(new_ok, idxM, M + idxM))
+        r = idxM
+        dst = slot_order[:M]
+        src = new_order
+        maskr = r < take
+        pos_next = jnp.where(status[:, None], pos_tracked, 0.0)
+        pos_next = pos_next.at[dst].set(
+            jnp.where(maskr[:, None], new_pts[src], pos_next[dst])
+        )
+        valid_next = status.at[dst].set(status[dst] | maskr)
+        new_src = jnp.full((N,), -1, jnp.int32).at[dst].set(
+            jnp.where(maskr, src.astype(jnp.int32), -1)
+        )
+        return pos_next, valid_next, new_src
+
     def _first_impl(self, pyr):
-        """First frame: detect only (pyr from the preprocessing dispatch)."""
+        """First frame: detect + place into slots (all on device)."""
         resp = shi_tomasi_response(pyr[0])
         new_pts, new_ok = select_features(
             resp, self.static_mask,
             jnp.zeros((1, 2), self.dtype), jnp.zeros((1,), bool),
             self.max_cnt, self.min_dist,
         )
-        return new_pts, new_ok
+        pos0, valid0, new_src = self._assign_slots(
+            jnp.zeros((self.N, 2), self.dtype),
+            jnp.zeros((self.N,), bool), new_pts, new_ok,
+        )
+        return pos0, valid0, (pos0, valid0, new_src)
 
     def _step_impl(self, pyr_prev, pyr, pos, valid, key, publish: bool):
         """Fused per-frame device step (pyr from the preprocessing dispatch).
 
-        Returns (pts_next, status, bearings, new_pts, new_ok, new_bearings).
+        Returns (pos_next, valid_next, host_outs): the first two continue
+        the device-resident slot chain; host_outs = (status, new_src,
+        pos_next, bear_next, valid_next) is everything the (possibly
+        one-frame-late) host bookkeeping needs.
         """
         lk = pyramidal_lk_pallas if self.use_pallas else pyramidal_lk
         pts_next, ok = lk(
@@ -155,13 +208,18 @@ class FrontEnd:
                 resp, self.static_mask, pts_next, status,
                 self.max_cnt, self.min_dist,
             )
+            pos_next, valid_next, new_src = self._assign_slots(
+                pts_next, status, new_pts, new_ok
+            )
         else:
-            new_pts = jnp.zeros((self.max_cnt, 2), self.dtype)
-            new_ok = jnp.zeros((self.max_cnt,), bool)
+            pos_next = jnp.where(status[:, None], pts_next, 0.0)
+            valid_next = status
+            new_src = jnp.full((self.N,), -1, jnp.int32)
 
-        bearings = self._lift(pts_next)
-        new_bearings = self._lift(new_pts)
-        return pts_next, status, bearings, new_pts, new_ok, new_bearings
+        bear_next = self._lift(pos_next)
+        return pos_next, valid_next, (
+            status, new_src, pos_next, bear_next, valid_next
+        )
 
     # ----------------------------------------------------------------- frame
     def dispatch(self, img, t: float, publish: bool = True):
@@ -169,25 +227,25 @@ class FrontEnd:
         opaque handle; pass it (plus, optionally, the already-fetched host
         values of ``handle[2]``) to :meth:`finalize`.
 
-        The split exists for latency hiding: a host↔device synchronization
-        has a fixed round-trip cost (tens of ms over a network-tunneled TPU),
-        so the pipeline fetches the tracker's outputs together with the
-        previous frame's estimator outputs in ONE ``jax.device_get``.
+        The device-resident slot chain (pos, valid) advances HERE, at
+        dispatch time — dispatch(k+1) consumes dispatch(k)'s device outputs
+        directly, with no host round trip in between. finalize() only does
+        id/track-count bookkeeping on the fetched copies and may therefore
+        run a full frame later (the pipeline's latency-hiding depth-2
+        schedule over a network-tunneled TPU).
         """
         img_dev = jnp.asarray(img)
-        if self.prev_pyr is None:
-            pyr = self._pre(img_dev)
-            return ("first", pyr, self._first(pyr), t, publish)
+        pyr = self._pre(img_dev)
+        if self._dev_pos is None:
+            pos0, valid0, outs = self._first(pyr)
+            self.prev_pyr = pyr
+            self._dev_pos, self._dev_valid = pos0, valid0
+            return ("first", pyr, outs, t, publish)
 
         self.key, sub = jax.random.split(self.key)
-        pyr = self._pre(img_dev)
-        step_args = (
-            self.prev_pyr, pyr,
-            jnp.asarray(self.pos, self.dtype), jnp.asarray(self.ids >= 0),
-            sub,
-        )
+        step_args = (self.prev_pyr, pyr, self._dev_pos, self._dev_valid, sub)
         try:
-            outs = self._step(*step_args, publish=publish)
+            pos_next, valid_next, outs = self._step(*step_args, publish=publish)
         except Exception as e:  # noqa: BLE001 — kernel compile failures
             if not self.use_pallas:
                 raise
@@ -207,7 +265,9 @@ class FrontEnd:
             self._step = jax.jit(
                 self._step_impl, static_argnames=("publish",)
             )
-            outs = self._step(*step_args, publish=publish)
+            pos_next, valid_next, outs = self._step(*step_args, publish=publish)
+        self.prev_pyr = pyr
+        self._dev_pos, self._dev_valid = pos_next, valid_next
         return ("step", pyr, outs, t, publish)
 
     def process_arrays(self, img: np.ndarray, t: float, publish: bool = True):
@@ -224,59 +284,54 @@ class FrontEnd:
 
     def finalize(self, handle, host_outs=None):
         """Complete a dispatched frame: device_get (unless the caller already
-        fetched ``handle[2]``) + host slot bookkeeping."""
+        fetched ``handle[2]``) + host id/track-count bookkeeping. May run a
+        full frame after the dispatch — the device chain has already moved
+        on; everything here operates on the fetched copies."""
         kind, pyr, outs, t, publish = handle
         if host_outs is None:
             host_outs = jax.device_get(outs)
 
         if kind == "first":
-            new_pts, new_ok = host_outs
-            sel = np.where(new_ok)[0][: self.N]
-            k = len(sel)
-            self.pos[:k] = new_pts[sel]
-            self.ids[:k] = np.arange(self.next_id, self.next_id + k)
+            pos0, valid0, new_src = host_outs
+            valid0 = np.asarray(valid0)
+            k = int(valid0.sum())
+            slots = np.where(valid0)[0]
+            self.pos = np.asarray(pos0, np.float64)
+            self.ids[slots] = np.arange(self.next_id, self.next_id + k)
             self.next_id += k
-            self.track_cnt[:k] = 1
-            self.prev_pyr = pyr
+            self.track_cnt[slots] = 1
             self.prev_time = t
             self.prev_bearing = np.zeros((self.N, 3))
             self.prev_has_bearing = np.zeros(self.N, bool)
             return None
 
-        valid = self.ids >= 0
-        pts_next, status, bearings, new_pts, new_ok, new_bearings = host_outs
-        pts_next = pts_next.astype(np.float64)
-        status = status & valid
-        bearings = bearings.astype(np.float64)
+        status, new_src, pos_next, bear_next, valid_next = host_outs
+        status = np.asarray(status) & (self.ids >= 0)
+        new_src = np.asarray(new_src)
+        pos_next = np.asarray(pos_next, np.float64)
+        bear_next = np.asarray(bear_next, np.float64)
 
         # Free failed slots; advance survivors (vectorized).
-        failed = valid & ~status
+        failed = (self.ids >= 0) & ~status
         self.ids[failed] = -1
         self.track_cnt[failed] = 0
         self.prev_has_bearing[failed] = False
-        self.pos[status] = pts_next[status]
+        self.pos = pos_next
+        self.track_cnt[status] += 1
+
+        # Id assignment for device-chosen refill slots. Slots ascend with
+        # detection order, so ids keep the reference's detection ordering.
+        new_slots = np.where(new_src >= 0)[0]
+        if publish and len(new_slots):
+            self.ids[new_slots] = np.arange(
+                self.next_id, self.next_id + len(new_slots)
+            )
+            self.next_id += len(new_slots)
+            self.track_cnt[new_slots] = 1
         valid = self.ids >= 0
-        self.track_cnt[valid] += 1
 
-        cur_bearing = np.where(valid[:, None], bearings, 0.0)
-        has_prev = self.prev_has_bearing & valid
-
-        if publish:
-            n_alive = int(valid.sum())
-            n_new = min(self.max_cnt - n_alive, self.N - n_alive)
-            if n_new > 0:
-                free = np.where(~valid)[0]
-                sel = np.where(new_ok)[0][:n_new][: len(free)]
-                slots = free[: len(sel)]
-                self.pos[slots] = new_pts[sel].astype(np.float64)
-                self.ids[slots] = np.arange(
-                    self.next_id, self.next_id + len(sel)
-                )
-                self.next_id += len(sel)
-                self.track_cnt[slots] = 1
-                cur_bearing[slots] = new_bearings[sel].astype(np.float64)
-                has_prev[slots] = False
-                valid = self.ids >= 0
+        cur_bearing = np.where(valid[:, None], bear_next, 0.0)
+        has_prev = self.prev_has_bearing & status
 
         # 3-D bearing velocities per slot (undistortedPoints semantics:
         # Δbearing/Δt for features tracked from the previous frame).
@@ -289,7 +344,6 @@ class FrontEnd:
 
         pub_mask = valid & (self.track_cnt > 1) if publish else None
 
-        self.prev_pyr = pyr
         self.prev_time = t
         self.prev_bearing = cur_bearing
         self.prev_has_bearing = valid.copy()

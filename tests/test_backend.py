@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -177,6 +178,7 @@ def test_lm_recovers_perturbed_depths():
     )
 
 
+@pytest.mark.slow
 def test_lm_full_recovers_perturbed_window():
     """Vision + IMU, poses 1..W and depths perturbed; frame 0 held by a
     synthetic strong prior on pose0 (the reference relies on the marg prior
@@ -214,6 +216,7 @@ def test_lm_full_recovers_perturbed_window():
         assert np.abs(np.asarray(dq)).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_marginalize_old_prior_consistency():
     """The marginal prior must reproduce the information of the eliminated
     factors: after marginalizing frame 0, the prior's H on the remaining

@@ -34,6 +34,7 @@ def test_calibrate_pinhole_recovers_intrinsics():
     assert abs(params["k1"] + 0.28) < 0.01
 
 
+@pytest.mark.slow
 def test_calibrate_scaramuzza_recovers_model():
     cam = make_synthetic_pal_camera()  # f64, 512x384
     # Boards spread over the PAL annulus (polar angles 45..105 deg), so the

@@ -7,6 +7,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-long e2e runs; default suite skips
+
 from lfvio_tpu.geom import host as hg
 from lfvio_tpu.runtime.synthetic import SyntheticWorld, make_synthetic_pal_camera
 from lfvio_tpu.runtime.estimator import Estimator, EstimatorConfig

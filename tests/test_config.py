@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from lfvio_tpu.runtime.config import load_rig_yaml
 
@@ -142,6 +143,7 @@ def test_reference_yaml_parses_if_present():
     assert rays[0, 2] < 0 < rays[1, 2]
 
 
+@pytest.mark.slow
 def test_stream_restart_resets_everything():
     """A >1 s frame gap must restart tracker + estimator (reference restart
     topic semantics)."""

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-long e2e runs; default suite skips
+
 from lfvio_tpu.backend import PriorFactor, SolverConfig, lm_solve
 from lfvio_tpu.backend.state import NFRAMES, pose_dim
 from lfvio_tpu.dist import make_feature_mesh, lm_solve_sharded, shard_grid

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-long e2e runs; default suite skips
+
 from lfvio_tpu.runtime.synthetic import SyntheticWorld, make_synthetic_pal_camera, SYN_MIN_R, SYN_MAX_R
 from lfvio_tpu.runtime.tracker import FrontEnd
 from lfvio_tpu.runtime.estimator import Estimator, EstimatorConfig

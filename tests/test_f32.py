@@ -5,6 +5,7 @@ x64 OFF — not only in the f64 configuration the CPU-mesh suite uses.
 The f32 run happens in a subprocess (x64 is process-global); the f64
 reference runs in-process on the identical scenario."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -20,6 +21,7 @@ from lfvio_tpu.runtime.evaluation import ate_rmse
 from _bearing_harness import make_landmarks, run_bearing_stream
 
 
+@pytest.mark.slow
 def test_f32_e2e_ate_matches_f64():
     # f64 reference in-process (conftest: x64 on).
     world = SyntheticWorld(camera=make_synthetic_pal_camera())

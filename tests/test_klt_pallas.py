@@ -5,6 +5,7 @@ the compiled TPU kernel) against klt.pyramidal_lk on a textured synthetic
 scene with a known sub-pixel shift.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,7 @@ def _shifted(img, dx, dy):
     ).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_pallas_lk_matches_xla():
     H, W = 240, 320
     dx, dy = 3.3, -2.6

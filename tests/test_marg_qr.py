@@ -6,6 +6,7 @@
   * Device yaw-gauge fix vs the round-1 host implementation semantics.
 """
 
+import pytest
 import sys
 import os
 
@@ -35,6 +36,7 @@ def _problem(dtype=jnp.float64, n_feat=64):
     return _tiny_problem(dtype, n_feat=n_feat)
 
 
+@pytest.mark.slow
 def test_marginalize_old_qr_matches_eigh_information():
     state, grid, pre, si, imu_valid, prior, G = _problem()
     # Anchor a few features at frame 0 so the depth-elimination path is live.
@@ -56,6 +58,7 @@ def test_marginalize_old_qr_matches_eigh_information():
     assert np.allclose(np.asarray(p_eig.x0_p), np.asarray(p_qr.x0_p))
 
 
+@pytest.mark.slow
 def test_marginalize_second_new_qr_matches_eigh_information():
     state, grid, pre, si, imu_valid, prior, G = _problem()
     p_eig = marginalize_second_new(state, prior, CFG)

@@ -39,11 +39,12 @@ from .state import (
     ex_off,
     td_off,
     pose_dim,
+    ex_2d,
 )
 
 
 def projection_residual_single(
-    p_i, q_i, p_j, q_j, tic, qic, inv_dep, td,
+    p_i, q_i, p_j, q_j, tic_i, qic_i, tic_j, qic_j, inv_dep, td,
     pts_i, pts_j, vel_i, vel_j, td_obs_i, td_obs_j, tangent_b,
     sqrt_info,
 ):
@@ -53,15 +54,21 @@ def projection_residual_single(
     so the correction is ``pts - (td - td_obs)*vel`` (projection_td_factor
     .cpp:53-56 folds the rolling-shutter row term the same way; we keep the
     row sign convention by precomputing it into td_obs).
+
+    (tic_i, qic_i) is the extrinsic of the ANCHOR observation's camera and
+    (tic_j, qic_j) the observing camera's — identical for a mono rig; a
+    multi-camera rig (dual-PAL) may observe one landmark from different
+    cameras (the reference's per-observation camera id,
+    estimator_node.cpp:292-312).
     """
     pts_i_td = pts_i - (td - td_obs_i) * vel_i
     pts_j_td = pts_j - (td - td_obs_j) * vel_j
     safe_dep = jnp.where(jnp.abs(inv_dep) < 1e-8, 1e-8, inv_dep)
     pts_cam_i = pts_i_td / safe_dep
-    pts_imu_i = quat_rotate(qic, pts_cam_i) + tic
+    pts_imu_i = quat_rotate(qic_i, pts_cam_i) + tic_i
     pts_w = quat_rotate(q_i, pts_imu_i) + p_i
     pts_imu_j = quat_rotate(quat_conj(q_j), pts_w - p_j)
-    pts_cam_j = quat_rotate(quat_conj(qic), pts_imu_j - tic)
+    pts_cam_j = quat_rotate(quat_conj(qic_j), pts_imu_j - tic_j)
     n = jnp.linalg.norm(pts_cam_j)
     safe_n = jnp.maximum(n, 1e-12)
     err = pts_cam_j / safe_n - pts_j_td / jnp.maximum(
@@ -90,24 +97,37 @@ def projection_residuals_grid(
     vel_i = jnp.einsum("fw,fwc->fc", onehot, grid.velocity)
     td_obs_i = jnp.einsum("fw,fw->f", onehot, grid.td_obs)
 
+    # Per-observation camera extrinsics (mono: broadcast of the single one).
+    tics, qics = ex_2d(state.tic, state.qic)
+    oh_cam = grid.cam_onehot(tics.shape[0], dtype)  # [F, W+1, C]
+    tic_j = jnp.einsum("fwc,cd->fwd", oh_cam, tics)  # [F, W+1, 3]
+    qic_j = jnp.einsum("fwc,cd->fwd", oh_cam, qics)  # [F, W+1, 4]
+    tic_i = jnp.einsum("fw,fwd->fd", onehot, tic_j)  # anchor obs camera
+    qic_i = jnp.einsum("fw,fwd->fd", onehot, qic_j)
+
     tb = tangent_basis(grid.bearing)  # [F, W+1, 2, 3] at measured pts_j
 
-    def per_obs(p_i, q_i, pts_i, vel_i, td_obs_i, p_j, q_j, pts_j, vel_j, td_obs_j, tb_j, inv_dep):
+    def per_obs(p_i, q_i, pts_i, vel_i, td_obs_i, tic_i, qic_i,
+                p_j, q_j, pts_j, vel_j, td_obs_j, tic_j, qic_j, tb_j, inv_dep):
         return projection_residual_single(
-            p_i, q_i, p_j, q_j, state.tic, state.qic, inv_dep, state.td,
+            p_i, q_i, p_j, q_j, tic_i, qic_i, tic_j, qic_j, inv_dep, state.td,
             pts_i, pts_j, vel_i, vel_j, td_obs_i, td_obs_j, tb_j, sqrt_info,
         )
 
     # vmap over frames (j) then features (f).
     f_over_frames = jax.vmap(
-        per_obs, in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0, 0, None)
+        per_obs,
+        in_axes=(None, None, None, None, None, None, None,
+                 0, 0, 0, 0, 0, 0, 0, 0, None),
     )
     f_over_feats = jax.vmap(
-        f_over_frames, in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0, 0, 0)
+        f_over_frames,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, 0, 0, 0, 0, 0, 0, 0),
     )
     res = f_over_feats(
-        p_i, q_i, pts_i, vel_i, td_obs_i,
-        state.p, state.q, grid.bearing, grid.velocity, grid.td_obs, tb,
+        p_i, q_i, pts_i, vel_i, td_obs_i, tic_i, qic_i,
+        state.p, state.q, grid.bearing, grid.velocity, grid.td_obs,
+        tic_j, qic_j, tb,
         state.inv_depth,
     )  # [F, W+1, 2]
 
@@ -165,7 +185,10 @@ def state_box_minus(state: WindowState, prior: PriorFactor):
     """Full-layout tangent difference x ⊟ x0 (quaternion-aware, matching
     marginalization_factor.cpp:341-353)."""
     n_frames = state.p.shape[0]
-    D = pose_dim(n_frames)
+    tics, qics = ex_2d(state.tic, state.qic)
+    x0_tics, x0_qics = ex_2d(prior.x0_tic, prior.x0_qic)
+    C = tics.shape[0]
+    D = pose_dim(n_frames, C)
     dx = jnp.zeros((D,), state.p.dtype)
     dp = state.p - prior.x0_p  # [W+1, 3]
     dth = quat_box_minus(state.q, prior.x0_q)  # [W+1, 3]
@@ -175,11 +198,11 @@ def state_box_minus(state: WindowState, prior: PriorFactor):
         axis=-1,
     ).reshape(-1)  # [9*(W+1)]
     dex = jnp.concatenate(
-        [state.tic - prior.x0_tic, quat_box_minus(state.qic, prior.x0_qic)]
-    )
+        [tics - x0_tics, quat_box_minus(qics, x0_qics)], axis=-1
+    ).reshape(-1)  # [6*C], camera-major
     dx = dx.at[: 6 * n_frames].set(pose_part)
     dx = dx.at[6 * n_frames : 15 * n_frames].set(sb_part)
-    dx = dx.at[15 * n_frames : 15 * n_frames + 6].set(dex)
+    dx = dx.at[15 * n_frames : 15 * n_frames + 6 * C].set(dex)
     dx = dx.at[-1].set(state.td - prior.x0_td)
     return dx
 

@@ -34,6 +34,7 @@ from .state import (
     pose_dim,
     pose_off,
     sb_off,
+    n_cams_of,
 )
 from .solver import (
     assemble_normal_equations,
@@ -107,7 +108,7 @@ def _shift_prior_blocks(J, r, n_frames: int):
     """Re-index prior columns for the window slide: new slot k = old slot k+1
     for both pose and speed-bias blocks; the refreshed last slot gets zero
     columns (it is a brand-new frame with no prior information)."""
-    D = pose_dim(n_frames)
+    D = J.shape[1]  # 15*n_frames + 6*n_cams + 1 (n_cams-agnostic)
     perm = []
     for k in range(n_frames - 1):
         perm.extend(range(pose_off(k + 1), pose_off(k + 1) + 6))
@@ -155,14 +156,7 @@ def marginalize_old(
 
     # Restrict projection factors to features anchored at frame 0 by shrinking
     # the 'used' mask; reuse the solver's assembly.
-    grid0 = FeatureGrid(
-        bearing=grid.bearing,
-        velocity=grid.velocity,
-        td_obs=grid.td_obs,
-        valid=grid.valid,
-        anchor=grid.anchor,
-        used=grid.used & (grid.anchor == 0),
-    )
+    grid0 = grid.replace(used=grid.used & (grid.anchor == 0))
     # Single-interval IMU factor: mask all but interval 0.
     imu_valid = jnp.zeros_like(imu0_valid).at[0].set(imu0_valid[0])
 
@@ -199,11 +193,10 @@ def marginalize_old(
 # --------------------------------------------------------------------------
 
 
-def _keep_drop_indices(n_frames: int):
+def _keep_drop_indices(n_frames: int, D: int):
     """Static (numpy) kept/dropped column indices for MARGIN_OLD."""
     import numpy as onp
 
-    D = pose_dim(n_frames)
     drop = onp.asarray(_drop_idx_old(n_frames), onp.int64)
     keep_mask = onp.ones(D, bool)
     keep_mask[drop] = False
@@ -230,16 +223,9 @@ def marginalize_old_qr(
     n_frames = state.p.shape[0]
     dtype = state.p.dtype
     F, W1 = grid.valid.shape
-    D = pose_dim(n_frames)
+    D = pose_dim(n_frames, n_cams_of(state))
 
-    grid0 = FeatureGrid(
-        bearing=grid.bearing,
-        velocity=grid.velocity,
-        td_obs=grid.td_obs,
-        valid=grid.valid,
-        anchor=grid.anchor,
-        used=grid.used & (grid.anchor == 0),
-    )
+    grid0 = grid.replace(used=grid.used & (grid.anchor == 0))
     imu_valid = jnp.zeros_like(imu0_valid).at[0].set(imu0_valid[0])
 
     res_w, Jfull, J_lam, _, _ = linearize_proj_rows(state, grid0, cfg)
@@ -265,7 +251,7 @@ def marginalize_old_qr(
         [res_w.reshape(R1), imu_res.reshape(W * 15), rp]
     )  # [R]
 
-    drop, keep = _keep_drop_indices(n_frames)
+    drop, keep = _keep_drop_indices(n_frames, D)
     A = jnp.concatenate(
         [A_pose[:, drop], A_dep, A_pose[:, keep], r[:, None]], axis=1
     )  # [R, 15 + F + K + 1]
@@ -295,7 +281,7 @@ def marginalize_second_new_qr(state: WindowState, prior: PriorFactor, cfg: Solve
     import numpy as onp
 
     n_frames = prior.x0_p.shape[0]
-    D = pose_dim(n_frames)
+    D = prior.J.shape[0]  # n_cams-agnostic
     dtype = prior.J.dtype
 
     rp = prior_residual(state, prior)
@@ -352,7 +338,7 @@ def marginalize_second_new(state: WindowState, prior: PriorFactor, cfg: SolverCo
     (estimator.cpp:949-1005). Returns the new prior re-indexed for the
     'merge-second-newest' slide (slot W-1 <- slot W)."""
     n_frames = prior.x0_p.shape[0]
-    D = pose_dim(n_frames)
+    D = prior.J.shape[0]  # n_cams-agnostic
     dtype = prior.J.dtype
 
     # Evaluate the prior at the current state and rebuild H, b.

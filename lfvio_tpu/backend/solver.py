@@ -33,6 +33,8 @@ from .state import (
     PriorFactor,
     SolverConfig,
     pose_dim,
+    ex_2d,
+    n_cams_of,
 )
 from .factors import (
     projection_residual_single,
@@ -48,41 +50,56 @@ def apply_delta(state: WindowState, dx, dlam, cfg: SolverConfig):
     """Retract the full tangent step onto the state (right-multiplicative
     quaternion update, cf. PoseLocalParameterization::Plus)."""
     n_frames = state.p.shape[0]
+    C = n_cams_of(state)
     pose_part = dx[: 6 * n_frames].reshape(n_frames, 6)
     sb_part = dx[6 * n_frames : 15 * n_frames].reshape(n_frames, 9)
-    dex = dx[15 * n_frames : 15 * n_frames + 6]
+    dex = dx[15 * n_frames : 15 * n_frames + 6 * C].reshape(C, 6)
     dtd = dx[-1]
+    if cfg.estimate_extrinsic:
+        tics, qics = ex_2d(state.tic, state.qic)
+        new_tic = tics + dex[:, 0:3]
+        new_qic = quat_normalize(quat_mul(qics, so3_exp(dex[:, 3:6])))
+        if state.tic.ndim == 1:
+            new_tic, new_qic = new_tic[0], new_qic[0]
+    else:
+        new_tic, new_qic = state.tic, state.qic
     return WindowState(
         p=state.p + pose_part[:, 0:3],
         q=quat_normalize(quat_mul(state.q, so3_exp(pose_part[:, 3:6]))),
         v=state.v + sb_part[:, 0:3],
         ba=state.ba + sb_part[:, 3:6],
         bg=state.bg + sb_part[:, 6:9],
-        tic=state.tic + dex[0:3] if cfg.estimate_extrinsic else state.tic,
-        qic=quat_normalize(quat_mul(state.qic, so3_exp(dex[3:6])))
-        if cfg.estimate_extrinsic
-        else state.qic,
+        tic=new_tic,
+        qic=new_qic,
         td=state.td + dtd if cfg.estimate_td else state.td,
         inv_depth=state.inv_depth + dlam,
     )
 
 
 def _proj_local_residual(
-    dlocal, p_i, q_i, p_j, q_j, tic, qic, inv_dep, td,
+    dlocal, p_i, q_i, p_j, q_j, tic_i, qic_i, tic_j, qic_j, inv_dep, td,
     pts_i, pts_j, vel_i, vel_j, td_obs_i, td_obs_j, tb, sqrt_info,
 ):
-    """Projection residual as a function of the 20-dim local perturbation
-    [δpose_i(6), δpose_j(6), δex(6), δλ(1), δtd(1)]."""
+    """Projection residual as a function of the 26-dim local perturbation
+    [δpose_i(6), δpose_j(6), δex_i(6), δex_j(6), δλ(1), δtd(1)].
+
+    The anchor-side (ex_i) and observation-side (ex_j) extrinsics are
+    perturbed SEPARATELY; when both observations come from the same camera
+    the two Jacobian blocks are scattered into the same columns and add —
+    exactly the chain-rule total derivative the mono formulation computed
+    with one shared perturbation."""
     p_i2 = p_i + dlocal[0:3]
     q_i2 = quat_mul(q_i, so3_exp(dlocal[3:6]))
     p_j2 = p_j + dlocal[6:9]
     q_j2 = quat_mul(q_j, so3_exp(dlocal[9:12]))
-    tic2 = tic + dlocal[12:15]
-    qic2 = quat_mul(qic, so3_exp(dlocal[15:18]))
-    lam2 = inv_dep + dlocal[18]
-    td2 = td + dlocal[19]
+    tic_i2 = tic_i + dlocal[12:15]
+    qic_i2 = quat_mul(qic_i, so3_exp(dlocal[15:18]))
+    tic_j2 = tic_j + dlocal[18:21]
+    qic_j2 = quat_mul(qic_j, so3_exp(dlocal[21:24]))
+    lam2 = inv_dep + dlocal[24]
+    td2 = td + dlocal[25]
     return projection_residual_single(
-        p_i2, q_i2, p_j2, q_j2, tic2, qic2, lam2, td2,
+        p_i2, q_i2, p_j2, q_j2, tic_i2, qic_i2, tic_j2, qic_j2, lam2, td2,
         pts_i, pts_j, vel_i, vel_j, td_obs_i, td_obs_j, tb, sqrt_info,
     )
 
@@ -109,7 +126,7 @@ def _imu_local_residual(dlocal, pre_k, si, p0, q0, v0, ba0, bg0, p1, q1, v1, ba1
 def linearize_projection(state: WindowState, grid: FeatureGrid, cfg: SolverConfig):
     """Residuals + per-factor Jacobians for the whole observation grid.
 
-    Returns (res [F,W1,2], J20 [F,W1,2,20], valid [F,W1], w [F,W1,1]).
+    Returns (res [F,W1,2], J26 [F,W1,2,26], valid [F,W1], w [F,W1,1]).
     """
     dtype = state.p.dtype
     F, W1 = grid.valid.shape
@@ -121,34 +138,47 @@ def linearize_projection(state: WindowState, grid: FeatureGrid, cfg: SolverConfi
     td_obs_i = jnp.einsum("fw,fw->f", onehot, grid.td_obs)
     tb = tangent_basis(grid.bearing)
 
-    sqrt_info = jnp.asarray(cfg.proj_sqrt_info, dtype)
-    zero20 = jnp.zeros((20,), dtype)
+    # Per-observation camera extrinsics (mono: broadcast of the single one).
+    tics, qics = ex_2d(state.tic, state.qic)
+    oh_cam = grid.cam_onehot(tics.shape[0], dtype)  # [F, W1, C]
+    tic_j = jnp.einsum("fwc,cd->fwd", oh_cam, tics)
+    qic_j = jnp.einsum("fwc,cd->fwd", oh_cam, qics)
+    tic_i = jnp.einsum("fw,fwd->fd", onehot, tic_j)
+    qic_i = jnp.einsum("fw,fwd->fd", onehot, qic_j)
 
-    def both(p_i, q_i, pts_i, vel_i, td_obs_i, p_j, q_j, pts_j, vel_j, td_obs_j, tb_j, lam):
+    sqrt_info = jnp.asarray(cfg.proj_sqrt_info, dtype)
+    zero26 = jnp.zeros((26,), dtype)
+
+    def both(p_i, q_i, pts_i, vel_i, td_obs_i, tic_i, qic_i,
+             p_j, q_j, pts_j, vel_j, td_obs_j, tic_j, qic_j, tb_j, lam):
         fn = lambda d: _proj_local_residual(
-            d, p_i, q_i, p_j, q_j, state.tic, state.qic, lam, state.td,
+            d, p_i, q_i, p_j, q_j, tic_i, qic_i, tic_j, qic_j, lam, state.td,
             pts_i, pts_j, vel_i, vel_j, td_obs_i, td_obs_j, tb_j, sqrt_info,
         )
-        return fn(zero20), jax.jacfwd(fn)(zero20)
+        return fn(zero26), jax.jacfwd(fn)(zero26)
 
     over_frames = jax.vmap(
-        both, in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0, 0, None)
+        both,
+        in_axes=(None, None, None, None, None, None, None,
+                 0, 0, 0, 0, 0, 0, 0, 0, None),
     )
     over_feats = jax.vmap(
-        over_frames, in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0, 0, 0)
+        over_frames,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, 0, 0, 0, 0, 0, 0, 0),
     )
-    res, J20 = over_feats(
-        p_i, q_i, pts_i, vel_i, td_obs_i,
-        state.p, state.q, grid.bearing, grid.velocity, grid.td_obs, tb,
+    res, J26 = over_feats(
+        p_i, q_i, pts_i, vel_i, td_obs_i, tic_i, qic_i,
+        state.p, state.q, grid.bearing, grid.velocity, grid.td_obs,
+        tic_j, qic_j, tb,
         state.inv_depth,
     )
 
     frame_idx = jnp.arange(W1)[None, :]
     valid = grid.valid & (frame_idx != grid.anchor[:, None]) & grid.used[:, None]
     res = jnp.where(valid[..., None], res, 0.0)
-    J20 = jnp.where(valid[..., None, None], J20, 0.0)
+    J26 = jnp.where(valid[..., None, None], J26, 0.0)
     w = cauchy_corrector(res, valid, cfg.cauchy_c)  # [F,W1,1]
-    return res, J20, valid, w
+    return res, J26, valid, w
 
 
 def linearize_proj_rows(state: WindowState, grid: FeatureGrid, cfg: SolverConfig):
@@ -161,24 +191,27 @@ def linearize_proj_rows(state: WindowState, grid: FeatureGrid, cfg: SolverConfig
     """
     dtype = state.p.dtype
     F, W1 = grid.valid.shape
-    D = pose_dim(W1)
+    C = n_cams_of(state)
+    D = pose_dim(W1, C)
 
-    res, J20, valid, w = linearize_projection(state, grid, cfg)
+    res, J26, valid, w = linearize_projection(state, grid, cfg)
     # Robust cost (Cauchy rho) before weighting.
     sq = jnp.sum(res * res, axis=-1)
     c2 = cfg.cauchy_c**2
     cost_proj = 0.5 * jnp.sum(jnp.where(valid, c2 * jnp.log1p(sq / c2), 0.0))
     # IRLS weighting.
     res_w = res * w
-    J20 = J20 * w[..., None]
+    J26 = J26 * w[..., None]
 
-    J_pi = J20[..., 0:6]
-    J_pj = J20[..., 6:12]
-    J_ex = J20[..., 12:18]
-    J_lam = J20[..., 18]
-    J_td = J20[..., 19]
+    J_pi = J26[..., 0:6]
+    J_pj = J26[..., 6:12]
+    J_exi = J26[..., 12:18]
+    J_exj = J26[..., 18:24]
+    J_lam = J26[..., 24]
+    J_td = J26[..., 25]
     if not cfg.estimate_extrinsic:
-        J_ex = jnp.zeros_like(J_ex)
+        J_exi = jnp.zeros_like(J_exi)
+        J_exj = jnp.zeros_like(J_exj)
     if not cfg.estimate_td:
         J_td = jnp.zeros_like(J_td)
 
@@ -190,8 +223,17 @@ def linearize_proj_rows(state: WindowState, grid: FeatureGrid, cfg: SolverConfig
     )
     Jpose = Jpose.reshape(F, W1, 2, 6 * W1)
     zeros_sb = jnp.zeros((F, W1, 2, 9 * W1), dtype)
+    # Extrinsic columns: scatter anchor-side and obs-side blocks to their
+    # cameras' column blocks (camera-major [C, 6] layout). Same-camera
+    # observations add, reproducing the mono total derivative exactly.
+    oh_cam = grid.cam_onehot(C, dtype)  # [F, W1, C]
+    oh_cam_i = jnp.einsum("fw,fwc->fc", onehot, oh_cam)  # [F, C]
+    Jex = jnp.einsum("fjac,fjC->fjaCc", J_exj, oh_cam) + jnp.einsum(
+        "fjac,fC->fjaCc", J_exi, oh_cam_i
+    )
+    Jex = Jex.reshape(F, W1, 2, 6 * C)
     Jfull = jnp.concatenate(
-        [Jpose, zeros_sb, J_ex, J_td[..., None]], axis=-1
+        [Jpose, zeros_sb, Jex, J_td[..., None]], axis=-1
     )  # [F, W1, 2, D]
     return res_w, Jfull, J_lam, valid, cost_proj
 
@@ -203,7 +245,8 @@ def linearize_imu_rows(state: WindowState, pre, sqrt_info_imu, imu_valid, gravit
     dtype = state.p.dtype
     W1 = state.p.shape[0]
     W = W1 - 1
-    D = pose_dim(W1)
+    C = n_cams_of(state)
+    D = pose_dim(W1, C)
     zero30 = jnp.zeros((30,), dtype)
 
     def imu_both(pre_k, si, p0, q0, v0, ba0, bg0, p1, q1, v1, ba1, bg1):
@@ -234,7 +277,7 @@ def linearize_imu_rows(state: WindowState, pre, sqrt_info_imu, imu_valid, gravit
         [
             Jp.reshape(W, 15, 6 * W1),
             Jsb.reshape(W, 15, 9 * W1),
-            jnp.zeros((W, 15, 7), dtype),
+            jnp.zeros((W, 15, 6 * C + 1), dtype),
         ],
         axis=-1,
     ).reshape(W * 15, D)
@@ -246,7 +289,7 @@ def assemble_normal_equations(
 ):
     """Build (H_pp, H_pl, H_ll, b_p, b_l, cost) for the current linearization."""
     F, W1 = grid.valid.shape
-    D = pose_dim(W1)
+    D = pose_dim(W1, n_cams_of(state))
     W = W1 - 1
 
     # ----- projection factors ------------------------------------------------
@@ -409,7 +452,7 @@ def lm_solve(
     estimator.cpp:810-825 — the budget maps to max_iter_dyn, see lm_loop)."""
     dtype = state.p.dtype
     F, W1 = grid.valid.shape
-    D = pose_dim(W1)
+    D = pose_dim(W1, n_cams_of(state))
 
     def lin_fn(s, zeros_like=False):
         if zeros_like:

@@ -43,8 +43,8 @@ WINDOW = 10  # sliding-window keyframes (reference WINDOW_SIZE, parameters.h:12)
 NFRAMES = WINDOW + 1
 
 
-def pose_dim(n_frames: int = NFRAMES) -> int:
-    return 6 * n_frames + 9 * n_frames + 6 + 1
+def pose_dim(n_frames: int = NFRAMES, n_cams: int = 1) -> int:
+    return 6 * n_frames + 9 * n_frames + 6 * n_cams + 1
 
 
 # Block offsets inside the full local layout.
@@ -60,8 +60,22 @@ def ex_off(n_frames: int = NFRAMES) -> int:
     return 6 * n_frames + 9 * n_frames
 
 
-def td_off(n_frames: int = NFRAMES) -> int:
-    return ex_off(n_frames) + 6
+def td_off(n_frames: int = NFRAMES, n_cams: int = 1) -> int:
+    return ex_off(n_frames) + 6 * n_cams
+
+
+def ex_2d(tic, qic):
+    """Canonical [C, 3] / [C, 4] view of the extrinsics. Mono states keep
+    the historical rank-1 [3] / [4] shapes (NUM_OF_CAM=1 in the reference,
+    parameters.h:14); multi-camera rigs (dual-PAL, BASELINE ID06/ID10)
+    store one row per camera."""
+    if tic.ndim == 1:
+        return tic[None, :], qic[None, :]
+    return tic, qic
+
+
+def n_cams_of(state) -> int:
+    return 1 if state.tic.ndim == 1 else int(state.tic.shape[0])
 
 
 @register_pytree
@@ -72,22 +86,25 @@ class WindowState:
     v: Any  # [W+1, 3]
     ba: Any  # [W+1, 3]
     bg: Any  # [W+1, 3]
-    tic: Any  # [3] extrinsic translation (camera in IMU frame)
-    qic: Any  # [4] extrinsic rotation
+    tic: Any  # [3] (mono) or [C, 3]: extrinsic translation (camera in IMU)
+    qic: Any  # [4] (mono) or [C, 4]: extrinsic rotation
     td: Any  # [] time offset
     inv_depth: Any  # [F] inverse ray depth per feature slot
 
     @staticmethod
-    def zeros(n_features: int, dtype=jnp.float32, n_frames: int = NFRAMES):
+    def zeros(n_features: int, dtype=jnp.float32, n_frames: int = NFRAMES,
+              n_cams: int = 1):
         qi = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (n_frames, 1))
+        unit_q = jnp.asarray([1.0, 0, 0, 0], dtype)
         return WindowState(
             p=jnp.zeros((n_frames, 3), dtype),
             q=qi,
             v=jnp.zeros((n_frames, 3), dtype),
             ba=jnp.zeros((n_frames, 3), dtype),
             bg=jnp.zeros((n_frames, 3), dtype),
-            tic=jnp.zeros((3,), dtype),
-            qic=jnp.asarray([1.0, 0, 0, 0], dtype),
+            tic=jnp.zeros((3,), dtype) if n_cams == 1
+            else jnp.zeros((n_cams, 3), dtype),
+            qic=unit_q if n_cams == 1 else jnp.tile(unit_q, (n_cams, 1)),
             td=jnp.zeros((), dtype),
             inv_depth=jnp.ones((n_features,), dtype),
         )
@@ -104,6 +121,11 @@ class FeatureGrid:
     valid: Any  # [F, W+1] bool observation mask
     anchor: Any  # [F] int32 anchor (start) frame per slot
     used: Any  # [F] bool — participates in BA (>=2 obs, anchored before W-2)
+    # Per-observation camera id (multi-camera rigs, e.g. dual-PAL up+down;
+    # the reference carries a camera id per feature-message entry,
+    # estimator_node.cpp:292-312). None ⇒ all observations from camera 0 —
+    # mono grids keep their historical pytree structure.
+    cam: Any = None  # [F, W+1] int32 or None
 
     @property
     def n_features(self):
@@ -115,6 +137,18 @@ class FeatureGrid:
 
     def anchor_onehot(self, dtype):
         return jax.nn.one_hot(self.anchor, self.n_frames, dtype=dtype)
+
+    def cam_onehot(self, n_cams: int, dtype):
+        """[F, W+1, C] one-hot of each observation's camera."""
+        if self.cam is None:
+            oh = jnp.zeros(
+                (self.n_features, self.n_frames, n_cams), dtype
+            )
+            return oh.at[..., 0].set(1.0)
+        return jax.nn.one_hot(self.cam, n_cams, dtype=dtype)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     @staticmethod
     def empty(n_features: int, dtype=jnp.float32, n_frames: int = NFRAMES):
@@ -154,9 +188,9 @@ class PriorFactor:
     valid: Any  # [] bool — False until the first marginalization
 
     @staticmethod
-    def empty(dtype=jnp.float32, n_frames: int = NFRAMES):
-        D = pose_dim(n_frames)
-        s = WindowState.zeros(1, dtype, n_frames)
+    def empty(dtype=jnp.float32, n_frames: int = NFRAMES, n_cams: int = 1):
+        D = pose_dim(n_frames, n_cams)
+        s = WindowState.zeros(1, dtype, n_frames, n_cams)
         return PriorFactor(
             J=jnp.zeros((D, D), dtype),
             r0=jnp.zeros((D,), dtype),
@@ -184,6 +218,9 @@ class SolverConfig:
     focal_length: float = 160.0  # virtual focal (parameters.h:11)
     estimate_td: bool = True
     estimate_extrinsic: bool = True
+    # Cameras in the rig (dual-PAL up+down = 2). Static: sets the extrinsic
+    # block count in the local layout (D = 15*(W+1) + 6*n_cams + 1).
+    n_cams: int = 1
     cauchy_c: float = 1.0  # CauchyLoss(1.0) (estimator.cpp:681)
     init_lambda: float = 1e-4
     min_inv_depth: float = 1e-3  # clamp; reference resets negative depths

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geom import quat_to_mat, quat_rotate
-from .state import WindowState, FeatureGrid
+from .state import WindowState, FeatureGrid, ex_2d
 
 INIT_DEPTH = 5.0
 
@@ -26,24 +26,34 @@ def triangulate_grid(state: WindowState, grid: FeatureGrid, has_depth):
     """Returns inverse ray depths [F] for features without a valid depth;
     entries with has_depth keep state.inv_depth.
 
-    Camera poses: p_c = p + R tic, R_c = R R_ic per frame.
+    Camera poses: p_c = p + R tic[c], R_c = R R_ic[c] per (frame, camera) —
+    each observation uses its own camera's extrinsic (multi-camera rigs).
     """
     dtype = state.p.dtype
     F, W1 = grid.valid.shape
 
+    tics, qics = ex_2d(state.tic, state.qic)
+    C = tics.shape[0]
     Rw = quat_to_mat(state.q)  # [W+1, 3, 3] world<-imu
-    Ric = quat_to_mat(state.qic)
-    t_c = state.p + jnp.einsum("wij,j->wi", Rw, state.tic)  # [W+1, 3]
-    R_c = jnp.einsum("wij,jk->wik", Rw, Ric)  # world<-cam
+    Rics = quat_to_mat(qics)  # [C, 3, 3]
+    t_wc = state.p[:, None, :] + jnp.einsum(
+        "wij,cj->wci", Rw, tics
+    )  # [W+1, C, 3]
+    R_wc = jnp.einsum("wij,cjk->wcik", Rw, Rics)  # [W+1, C, 3, 3] world<-cam
+
+    # Per-observation camera pose via the camera one-hot.
+    oh_cam = grid.cam_onehot(C, dtype)  # [F, W+1, C]
+    R_c = jnp.einsum("fwc,wcik->fwik", oh_cam, R_wc)  # [F, W+1, 3, 3]
+    t_c = jnp.einsum("fwc,wci->fwi", oh_cam, t_wc)  # [F, W+1, 3]
 
     onehot = grid.anchor_onehot(dtype)
-    R0 = jnp.einsum("fw,wij->fij", onehot, R_c)  # anchor cam rotation per feat
-    t0 = onehot @ t_c
+    R0 = jnp.einsum("fw,fwij->fij", onehot, R_c)  # anchor cam rotation
+    t0 = jnp.einsum("fw,fwi->fi", onehot, t_c)
 
     # Relative projection per (f, j): X_cam_j = R_rel X_anchor + t_rel with
     # R_rel = R_cj^T R_0, t_rel = R_cj^T (t0 - t_cj).
-    R_rel = jnp.einsum("wji,fjk->fwik", R_c, R0)  # [F, W+1, 3, 3]
-    t_rel = jnp.einsum("wji,fwj->fwi", R_c, t0[:, None, :] - t_c[None, :, :])
+    R_rel = jnp.einsum("fwji,fjk->fwik", R_c, R0)  # [F, W+1, 3, 3]
+    t_rel = jnp.einsum("fwji,fwj->fwi", R_c, t0[:, None, :] - t_c)
 
     P = jnp.concatenate([R_rel, t_rel[..., None]], axis=-1)  # [F, W+1, 3, 4]
     f = grid.bearing / jnp.maximum(

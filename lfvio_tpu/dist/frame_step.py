@@ -41,6 +41,7 @@ def triangulate_sharded(mesh: Mesh, state, grid, has_depth, axis: str = "f"):
     grid_specs = FeatureGrid(
         bearing=P(axis), velocity=P(axis), td_obs=P(axis),
         valid=P(axis), anchor=P(axis), used=P(axis),
+        cam=P(axis) if grid.cam is not None else None,
     )
     state_specs = jax.tree_util.tree_map(lambda _: P(), state)
     state_specs = dataclasses.replace(state_specs, inv_depth=P(axis))
@@ -57,24 +58,11 @@ def triangulate_sharded(mesh: Mesh, state, grid, has_depth, axis: str = "f"):
     return run(state, grid, has_depth)
 
 
-def vio_frame_step_sharded(
-    mesh: Mesh,
-    state: WindowState,
-    grid: FeatureGrid,
-    dts, accs, gyrs, a0, g0, imu_valid,
-    prior: PriorFactor,
-    has_depth,
-    origin_p0, origin_q0,
-    imu_noise,
-    cfg: SolverConfig,
-    g_norm: float = 9.81,
-    marg_old: bool = True,
-    axis: str = "f",
+def _frame_step_impl(
+    mesh, state, grid, dts, accs, gyrs, a0, g0, imu_valid,
+    prior, has_depth, origin_p0, origin_q0,
+    imu_noise, cfg, g_norm, marg_old, axis,
 ):
-    """One full frame: preintegrate → triangulate → LM BA → gauge fix →
-    marginalize, distributed over `mesh`. Returns (state_out, new_prior,
-    cost0, cost1). `grid`, `has_depth` and `state.inv_depth` are sharded on
-    the feature axis; everything else is replicated."""
     sd = state.p.dtype
     gravity = jnp.asarray([0.0, 0.0, g_norm], sd)
 
@@ -100,3 +88,46 @@ def vio_frame_step_sharded(
     else:
         new_prior = marginalize_second_new_qr(out, prior, cfg)
     return out, new_prior, c0, c1
+
+
+_JIT_CACHE: dict = {}
+
+
+def vio_frame_step_sharded(
+    mesh: Mesh,
+    state: WindowState,
+    grid: FeatureGrid,
+    dts, accs, gyrs, a0, g0, imu_valid,
+    prior: PriorFactor,
+    has_depth,
+    origin_p0, origin_q0,
+    imu_noise,
+    cfg: SolverConfig,
+    g_norm: float = 9.81,
+    marg_old: bool = True,
+    axis: str = "f",
+):
+    """One full frame: preintegrate → triangulate → LM BA → gauge fix →
+    marginalize, distributed over `mesh`. Returns (state_out, new_prior,
+    cost0, cost1). `grid`, `has_depth` and `state.inv_depth` are sharded on
+    the feature axis; everything else is replicated.
+
+    The program is jitted ONCE per (mesh, cfg, noise, marg_old, g_norm)
+    configuration and cached — repeat calls reuse the compiled executable
+    (without this, every call re-traced its shard_maps: ~140 s/step on the
+    CPU mesh; with it, milliseconds)."""
+    key = (mesh, imu_noise, cfg, float(g_norm), bool(marg_old), axis)
+    step = _JIT_CACHE.get(key)
+    if step is None:
+        step = jax.jit(
+            lambda st, g, d, ac, gy, a_0, g_0, iv, pr, hd, op, oq:
+            _frame_step_impl(
+                mesh, st, g, d, ac, gy, a_0, g_0, iv, pr, hd, op, oq,
+                imu_noise, cfg, g_norm, marg_old, axis,
+            )
+        )
+        _JIT_CACHE[key] = step
+    return step(
+        state, grid, dts, accs, gyrs, a0, g0, imu_valid,
+        prior, has_depth, origin_p0, origin_q0,
+    )

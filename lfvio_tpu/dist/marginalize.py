@@ -42,6 +42,7 @@ from ..backend.state import (
     PriorFactor,
     SolverConfig,
     pose_dim,
+    n_cams_of,
 )
 from ..backend.solver import linearize_proj_rows, linearize_imu_rows
 from ..backend.factors import prior_residual
@@ -59,16 +60,12 @@ def _marg_old_qr_local(state, grid, pre0, sqrt_info_imu0, imu_valid_masked,
     n_frames = state.p.shape[0]
     Floc, W1 = grid.valid.shape
     W = W1 - 1
-    D = pose_dim(n_frames)
-    drop, keep = _keep_drop_indices(n_frames)
+    D = pose_dim(n_frames, n_cams_of(state))
+    drop, keep = _keep_drop_indices(n_frames, D)
     K = len(keep)
     C = 15 + K + 1  # shared columns: dropped pose0/sb0 | kept | residual
 
-    grid0 = FeatureGrid(
-        bearing=grid.bearing, velocity=grid.velocity, td_obs=grid.td_obs,
-        valid=grid.valid, anchor=grid.anchor,
-        used=grid.used & (grid.anchor == 0),
-    )
+    grid0 = grid.replace(used=grid.used & (grid.anchor == 0))
 
     # ---- stage 1: local projection rows, eliminate local depths ----------
     res_w, Jfull, J_lam, _, _ = linearize_proj_rows(state, grid0, cfg)
@@ -141,6 +138,7 @@ def marginalize_old_qr_sharded(
     grid_specs = FeatureGrid(
         bearing=P(axis), velocity=P(axis), td_obs=P(axis),
         valid=P(axis), anchor=P(axis), used=P(axis),
+        cam=P(axis) if grid.cam is not None else None,
     )
     state_specs = jax.tree_util.tree_map(lambda _: P(), state)
     # inv_depth may arrive feature-sharded from the sharded solve.

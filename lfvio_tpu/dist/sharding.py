@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..backend.state import (
-    WindowState, FeatureGrid, PriorFactor, SolverConfig, pose_dim,
+    WindowState, FeatureGrid, PriorFactor, SolverConfig, pose_dim, n_cams_of,
 )
 from ..backend.solver import (
     assemble_normal_equations,
@@ -57,6 +57,7 @@ def shard_grid(grid: FeatureGrid, mesh: Mesh, axis: str = "f"):
         valid=jax.device_put(grid.valid, spec),
         anchor=jax.device_put(grid.anchor, spec),
         used=jax.device_put(grid.used, spec),
+        cam=jax.device_put(grid.cam, spec) if grid.cam is not None else None,
     )
 
 
@@ -87,6 +88,7 @@ def lm_solve_sharded(
     grid_specs = FeatureGrid(
         bearing=P(axis), velocity=P(axis), td_obs=P(axis),
         valid=P(axis), anchor=P(axis), used=P(axis),
+        cam=P(axis) if grid.cam is not None else None,
     )
     prior_specs = jax.tree_util.tree_map(lambda _: P(), prior)
 
@@ -132,7 +134,7 @@ def lm_solve_sharded(
     def solve(s, g, pre_, si_, iv_, pr_):
         dtype = s.p.dtype
         F_local = g.valid.shape[0]
-        D = pose_dim(g.valid.shape[1])
+        D = pose_dim(g.valid.shape[1], n_cams_of(s))
 
         def lin_fn(sc, zeros_like=False):
             if zeros_like:

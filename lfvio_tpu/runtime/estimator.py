@@ -45,6 +45,9 @@ from .feature_manager import HostFeatureManager
 @dataclasses.dataclass
 class EstimatorConfig:
     n_feature_slots: int = 256
+    # Cameras in the rig (dual-PAL up+down = 2). tic/ric may be per-camera
+    # arrays ([C,3] / [C,3,3]) when n_cams > 1.
+    n_cams: int = 1
     max_imu_per_interval: int = 256
     min_parallax: float = 10.0 / 160.0  # keyframe_parallax / FOCAL_LENGTH
     imu_noise: ImuNoise = dataclasses.field(
@@ -83,6 +86,7 @@ class Estimator:
             max_iterations=cfg.max_iterations,
             estimate_td=cfg.estimate_td,
             estimate_extrinsic=cfg.estimate_extrinsic,
+            n_cams=cfg.n_cams,
         )
         self.clear_state()
 
@@ -111,8 +115,19 @@ class Estimator:
         self.Vs = np.zeros((W1, 3))
         self.Bas = np.zeros((W1, 3))
         self.Bgs = np.zeros((W1, 3))
-        self.tic = np.asarray(cfg.tic, np.float64).copy()
-        self.qic = hg.mat_to_quat(np.asarray(cfg.ric, np.float64))
+        tic_in = np.asarray(cfg.tic, np.float64)
+        ric_in = np.asarray(cfg.ric, np.float64)
+        if cfg.n_cams > 1:
+            # Canonical per-camera shapes; broadcast a single extrinsic.
+            if tic_in.ndim == 1:
+                tic_in = np.tile(tic_in, (cfg.n_cams, 1))
+            if ric_in.ndim == 2:
+                ric_in = np.tile(ric_in, (cfg.n_cams, 1, 1))
+            self.tic = tic_in.copy()
+            self.qic = np.stack([hg.mat_to_quat(R) for R in ric_in])
+        else:
+            self.tic = tic_in.copy()
+            self.qic = hg.mat_to_quat(ric_in)
         self.td = cfg.td0
         self.frame_count = 0
         self.solver_flag = self.INITIAL
@@ -160,6 +175,16 @@ class Estimator:
         self.relo_relative_q = None
         self.relo_relative_yaw = None
         self.relo_frame_stamp = None
+
+    # --------------------------------------------------------------- helpers
+    def _tic0(self):
+        """Primary-camera extrinsic translation (host geometry paths —
+        init, relo, slide re-anchoring — operate on camera 0)."""
+        return self.tic if self.tic.ndim == 1 else self.tic[0]
+
+    def _ric0(self):
+        q = self.qic if self.qic.ndim == 1 else self.qic[0]
+        return hg.quat_to_mat(q)
 
     # ------------------------------------------------------------------- IMU
     def process_imu(self, dt, acc, gyr):
@@ -299,7 +324,7 @@ class Estimator:
 
     def _device_grid(self, dtype=None):
         sd = dtype or self.cfg.solver_dtype
-        b, v, tdo, val, anc, used = self.fm.device_grid_arrays()
+        b, v, tdo, val, anc, used, cam = self.fm.device_grid_arrays()
         return FeatureGrid(
             bearing=jnp.asarray(b.copy(), sd),
             velocity=jnp.asarray(v.copy(), sd),
@@ -307,15 +332,20 @@ class Estimator:
             valid=jnp.asarray(val.copy()),
             anchor=jnp.asarray(anc.copy()),
             used=jnp.asarray(used),
+            # Mono rigs keep cam=None: identical pytree structure (and jit
+            # cache keys) as before the multi-camera extension.
+            cam=jnp.asarray(cam.copy()) if self.cfg.n_cams > 1 else None,
         )
 
     def _empty_prior(self, dtype=None):
-        return PriorFactor.empty(dtype=dtype or self.cfg.solver_dtype)
+        return PriorFactor.empty(
+            dtype=dtype or self.cfg.solver_dtype, n_cams=self.cfg.n_cams
+        )
 
     # ------------------------------------------------------------------ frame
     def process_image_arrays(
         self, ids, bearings, vels, rows, mask, t: float, defer_solve=False,
-        td_pair=None,
+        td_pair=None, cams=None,
     ):
         """Estimator::processImage (estimator.cpp:122-220), array interface.
 
@@ -351,8 +381,10 @@ class Estimator:
             )
         else:
             tds = np.full(len(sel), td_rec)
+        cams_s = None if cams is None else np.asarray(cams, np.int32)[sel]
         is_keyframe = self.fm.add_frame_arrays(
-            self.frame_count, ids_s, b_s, v_s, tds, cfg.min_parallax
+            self.frame_count, ids_s, b_s, v_s, tds, cfg.min_parallax,
+            cams=cams_s,
         )
         self.marg_old = is_keyframe  # True -> MARGIN_OLD
 
@@ -372,7 +404,10 @@ class Estimator:
                 if pre is not None:
                     done, ric = self.ex_calib.add_pair(b1, b2, pre.delta_q)
                     if done:
-                        self.qic = hg.mat_to_quat(ric)
+                        if self.qic.ndim == 2:
+                            self.qic[0] = hg.mat_to_quat(ric)
+                        else:
+                            self.qic = hg.mat_to_quat(ric)
                         self.extrinsic_calibrated = True
 
         self.headers[self.frame_count] = t
@@ -478,7 +513,8 @@ class Estimator:
         if idx is None or self.solver_flag != self.NON_LINEAR:
             return False
 
-        ric = hg.quat_to_mat(self.qic)
+        ric = self._ric0()
+        tic0 = self._tic0()
         pw, bb = [], []
         match_bearings = np.asarray(match_bearings, np.float64)
         for fid, b_old in zip(np.asarray(match_ids, np.int64), match_bearings):
@@ -488,7 +524,7 @@ class Estimator:
             a = int(self.fm.anchor[s])
             Ra = hg.quat_to_mat(self.Qs[a])
             p_cam = self.fm.bearing[s, a] * self.fm.depth[s]
-            p_w = Ra @ (ric @ p_cam + self.tic) + self.Ps[a]
+            p_w = Ra @ (ric @ p_cam + tic0) + self.Ps[a]
             pw.append(p_w)
             bb.append(b_old / max(np.linalg.norm(b_old), 1e-12))
         if len(pw) < 6:
@@ -500,14 +536,14 @@ class Estimator:
         # para_Pose[i]); solve the loop frame's camera pose in the VIO world.
         R_wi = hg.quat_to_mat(self.Qs[idx])
         R_wc0 = R_wi @ ric
-        t_wc0 = self.Ps[idx] + R_wi @ self.tic
+        t_wc0 = self.Ps[idx] + R_wi @ tic0
         R_cw, t_cw, ok = pnp_bearing_gn(pw, bb, R_wc0.T, -R_wc0.T @ t_wc0)
         if not ok:
             return False
         R_wc = R_cw.T
         P_wc = -R_wc @ t_cw
         relo_r = R_wc @ ric.T  # loop frame IMU pose in VIO world
-        relo_t = P_wc - relo_r @ self.tic
+        relo_t = P_wc - relo_r @ tic0
 
         def norm_deg(a):
             return (a + 180.0) % 360.0 - 180.0
@@ -715,7 +751,8 @@ class Estimator:
         if self.marg_old:
             back_R0 = hg.quat_to_mat(self.Qs[0])
             back_P0 = self.Ps[0].copy()
-            ric = hg.quat_to_mat(self.qic)
+            ric = self._ric0()
+            tic0 = self._tic0()
             # Shift states.
             for arr in (self.Ps, self.Qs, self.Vs, self.Bas, self.Bgs, self.headers):
                 arr[:-1] = arr[1:]
@@ -732,10 +769,10 @@ class Estimator:
             self._imu_sumdt[0] = 0.0
             if self.solver_flag == self.NON_LINEAR:
                 R0 = back_R0 @ ric
-                P0 = back_P0 + back_R0 @ self.tic
+                P0 = back_P0 + back_R0 @ tic0
                 Rnew0 = hg.quat_to_mat(self.Qs[0])
                 R1 = Rnew0 @ ric
-                P1 = self.Ps[0] + Rnew0 @ self.tic
+                P1 = self.Ps[0] + Rnew0 @ tic0
                 self.fm.slide_old(R0, P0, R1, P1)
             else:
                 self.fm.slide_old(np.eye(3), np.zeros(3), np.eye(3), np.zeros(3))
@@ -838,7 +875,8 @@ class Estimator:
 
     def _initial_structure(self):
         """estimator.cpp:221-363 initialStructure."""
-        ric = hg.quat_to_mat(self.qic)
+        ric = self._ric0()
+        tic0 = self._tic0()
         # 1. relative pose pivot.
         rel = None
         for i in range(WINDOW):
@@ -933,7 +971,7 @@ class Estimator:
         # Skip the degenerate first frame (no preintegration) pairings are
         # handled because frames[0].delta_* is identity and pairs use f_j's.
         ok, dbg, g_vis, x = visual_imu_alignment(
-            align_frames[: None], self.tic, self.cfg.g_norm, reprop
+            align_frames[: None], tic0, self.cfg.g_norm, reprop
         )
         if not ok:
             return False
@@ -950,7 +988,9 @@ class Estimator:
         sd = self.cfg.solver_dtype
         self.fm.depth[:] = -1.0
         state_tmp = self._device_state()
-        state_tmp = dataclasses.replace(state_tmp, tic=jnp.zeros(3, sd))
+        state_tmp = dataclasses.replace(
+            state_tmp, tic=jnp.zeros_like(state_tmp.tic)
+        )
         grid = self._device_grid()
         inv_d = np.asarray(
             self._triangulate(state_tmp, grid, jnp.zeros(grid.used.shape, bool))
@@ -960,9 +1000,9 @@ class Estimator:
 
         # Rescale: Ps = s*Ps - Rs*tic - (s*Ps0 - Rs0*tic); depths *= s.
         R0s = [hg.quat_to_mat(self.Qs[i]) for i in range(NFRAMES)]
-        base = s * self.Ps[0] - R0s[0] @ self.tic
+        base = s * self.Ps[0] - R0s[0] @ tic0
         for i in range(NFRAMES - 1, -1, -1):
-            self.Ps[i] = s * self.Ps[i] - R0s[i] @ self.tic - base
+            self.Ps[i] = s * self.Ps[i] - R0s[i] @ tic0 - base
         kv = -1
         for fr, af in zip(self.all_frames, align_frames):
             if fr["is_key"]:

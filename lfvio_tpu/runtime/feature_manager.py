@@ -32,6 +32,7 @@ class HostFeatureManager:
         self.td_obs = np.zeros((n_slots, n_frames))
         self.valid = np.zeros((n_slots, n_frames), bool)
         self.anchor = np.zeros(n_slots, np.int32)
+        self.cam = np.zeros((n_slots, n_frames), np.int32)  # per-obs camera id
         self.feature_id = np.full(n_slots, -1, np.int64)
         self.depth = np.full(n_slots, -1.0)  # ray depth at anchor; <0 = unknown
         self.last_track_num = 0
@@ -39,7 +40,8 @@ class HostFeatureManager:
 
     # ------------------------------------------------------------------ add
     def add_frame_arrays(
-        self, frame_idx: int, ids, bearings, vels, tds, min_parallax: float
+        self, frame_idx: int, ids, bearings, vels, tds, min_parallax: float,
+        cams=None,
     ) -> bool:
         """Insert the frame's published features (parallel arrays) at window
         slot frame_idx. Returns True if the *previous* frame should be
@@ -70,6 +72,9 @@ class HostFeatureManager:
         self.bearing[dst, frame_idx] = np.asarray(bearings)[src]
         self.velocity[dst, frame_idx] = np.asarray(vels)[src]
         self.td_obs[dst, frame_idx] = np.asarray(tds)[src]
+        self.cam[dst, frame_idx] = (
+            0 if cams is None else np.asarray(cams, np.int32)[src]
+        )
         self.valid[dst, frame_idx] = True
 
         if frame_idx < 2 or self.last_track_num < 20:
@@ -80,6 +85,7 @@ class HostFeatureManager:
             (self.feature_id >= 0)
             & self.valid[:, frame_idx - 2]
             & self.valid[:, frame_idx - 1]
+            & (self.cam[:, frame_idx - 2] == self.cam[:, frame_idx - 1])
             & (self.anchor <= frame_idx - 2)
         )
         if not m.any():
@@ -114,18 +120,24 @@ class HostFeatureManager:
         return (self.feature_id >= 0) & (nobs >= 2) & (self.anchor < self.W1 - 3)
 
     def corresponding(self, fi: int, fj: int):
-        """Bearing pairs observed in both frames (getCorresponding)."""
-        m = (self.feature_id >= 0) & self.valid[:, fi] & self.valid[:, fj]
+        """Bearing pairs observed in both frames (getCorresponding).
+        Restricted to primary-camera (cam 0) observations — the SfM
+        bootstrap runs on one camera, as in the reference."""
+        m = (
+            (self.feature_id >= 0) & self.valid[:, fi] & self.valid[:, fj]
+            & (self.cam[:, fi] == 0) & (self.cam[:, fj] == 0)
+        )
         return self.bearing[m, fi], self.bearing[m, fj], self.feature_id[m]
 
     def observations_dict(self):
-        """feature_id -> [(frame, bearing)] for SfM (init-time only)."""
+        """feature_id -> [(frame, bearing)] for SfM (init-time only;
+        primary camera observations only)."""
         out = {}
         for s in np.where(self.feature_id >= 0)[0]:
             obs = [
                 (int(j), self.bearing[s, j].copy())
                 for j in range(self.W1)
-                if self.valid[s, j]
+                if self.valid[s, j] and self.cam[s, j] == 0
             ]
             if obs:
                 out[int(self.feature_id[s])] = obs
@@ -146,6 +158,12 @@ class HostFeatureManager:
         self._free_mask(anchored0 & (n_remaining < 2))
 
         reanchor = anchored0 & (n_remaining >= 2) & (self.depth > 0)
+        # The closed-form re-anchor transform below uses the PRIMARY
+        # camera's poses; multi-camera observations whose old/new anchor is
+        # another camera just re-triangulate at the new anchor instead.
+        cam_ok = (self.cam[:, 0] == 0) & (self.cam[:, 1] == 0)
+        self.depth[reanchor & ~cam_ok] = -1.0
+        reanchor = reanchor & cam_ok
         if reanchor.any():
             pts = self.bearing[reanchor, 0] * self.depth[reanchor, None]
             w_pts = pts @ np.asarray(marg_R).T + np.asarray(marg_P)
@@ -157,6 +175,7 @@ class HostFeatureManager:
         self.bearing[:, :-1] = self.bearing[:, 1:]
         self.velocity[:, :-1] = self.velocity[:, 1:]
         self.td_obs[:, :-1] = self.td_obs[:, 1:]
+        self.cam[:, :-1] = self.cam[:, 1:]
         self.valid[:, :-1] = self.valid[:, 1:]
         self.valid[:, -1] = False
         self.bearing[:, -1] = 0.0
@@ -178,6 +197,7 @@ class HostFeatureManager:
         self.bearing[:, j] = self.bearing[:, frame_count]
         self.velocity[:, j] = self.velocity[:, frame_count]
         self.td_obs[:, j] = self.td_obs[:, frame_count]
+        self.cam[:, j] = self.cam[:, frame_count]
         self.valid[:, j] = self.valid[:, frame_count]
         self.valid[:, frame_count] = False
         live = self.feature_id >= 0
@@ -225,4 +245,5 @@ class HostFeatureManager:
             self.valid,
             self.anchor,
             used,
+            self.cam,
         )

@@ -19,11 +19,18 @@ from .estimator import Estimator, EstimatorConfig
 
 class VioPipeline:
     def __init__(self, frontend: FrontEnd, estimator: Estimator, freq: float = 0.0,
-                 td: float = 0.0, on_odometry=None):
+                 td: float = 0.0, on_odometry=None, depth: int = 3):
         self.fe = frontend
         self.est = estimator
         self.freq = freq  # max publish rate; 0 = publish every frame
         self.td = td  # initial camera-IMU time offset (see _td_now)
+        # Tracker frames in flight before host processing (device slot
+        # chain advances at dispatch, so correctness is depth-independent).
+        # Higher depth hides more device/transfer latency at the cost of
+        # one frame period of output latency per level; ≥3 keeps the
+        # tracker fetch off the critical path even when the tunnel round
+        # trip exceeds two frame periods. depth=1 = fully synchronous.
+        self.depth = max(int(depth), 1)
         self.on_odometry = on_odometry  # callback(t, p, q, v) at IMU rate
         self._last_pub_t = -1e18
         self._last_imu = None  # (t, acc, gyr)
@@ -232,7 +239,7 @@ class VioPipeline:
         # previous frame event (its boundary-interpolated sample included).
         imu_batch, self._est_imu_queue = self._est_imu_queue, []
         self._fe_inflight.append((handle, t, td_pair, publish, imu_batch))
-        if len(self._fe_inflight) >= 2:
+        if len(self._fe_inflight) >= self.depth:
             self._advance_one()
 
     def _advance_one(self):
@@ -259,12 +266,13 @@ class VioPipeline:
 
     def _publish_frame(self, out, t, td_pair, publish):
         if publish and out is not None:
-            ids, bearings, vels, rows, pub = out
+            ids, bearings, vels, rows, pub = out[:5]
+            cams = out[5] if len(out) > 5 else None  # multi-camera frontends
             if pub.any():
                 self._last_pub_t = t
                 self.est.process_image_arrays(
                     ids, bearings, vels, rows, pub, t, defer_solve=True,
-                    td_pair=td_pair,
+                    td_pair=td_pair, cams=cams,
                 )
                 self._last_sync_t = (
                     t + td_pair if td_pair is not None else t + self._td_now

@@ -15,11 +15,17 @@ Usage:  python scaling_bench.py [n_features]
 import os
 import sys
 
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Force CPU: the shell presets JAX_PLATFORMS=axon (TPU tunnel) and the env
+# var alone does not reliably override the plugin — use the config API too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import time
 import json
@@ -32,27 +38,23 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
-    from lfvio_tpu.backend import SolverConfig
-    from lfvio_tpu.backend.state import NFRAMES
     from lfvio_tpu.dist import make_feature_mesh, shard_grid, vio_frame_step_sharded
-    from lfvio_tpu.imu import ImuNoise
-    from __graft_entry__ import _tiny_problem
+    from lfvio_tpu.runtime.profiling import make_window_problem
 
     n_feat = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     dtype = jnp.float32
-    cfg = SolverConfig(max_iterations=8, estimate_td=False, estimate_extrinsic=False)
-    noise = ImuNoise(0.02, 0.01, 0.04, 0.001)
-
-    state, grid, _, _, imu_valid, prior, gravity = _tiny_problem(dtype, n_feat=n_feat)
-    W = NFRAMES - 1
-    M = 32
-    rng = np.random.default_rng(7)
-    dts = jnp.full((W, M), 1.0 / (M * 10.0), dtype)
-    accs = jnp.asarray(
-        np.tile(np.array([0.0, 0.0, 9.81]), (W, M, 1))
-        + 0.01 * rng.standard_normal((W, M, 3)), dtype)
-    gyrs = jnp.asarray(0.01 * rng.standard_normal((W, M, 3)), dtype)
-    a0, g0 = accs[:, 0], gyrs[:, 0]
+    pb = make_window_problem(
+        n_feat, dtype, max_iterations=8,
+        estimate_td=True, estimate_extrinsic=True, with_prior=True,
+    )
+    state, grid, prior, cfg, noise = (
+        pb["state"], pb["grid"], pb["prior"], pb["cfg"], pb["noise"])
+    dts = jnp.asarray(pb["dts"], dtype)
+    accs = jnp.asarray(pb["accs"], dtype)
+    gyrs = jnp.asarray(pb["gyrs"], dtype)
+    a0 = jnp.asarray(pb["a0"], dtype)
+    g0 = jnp.asarray(pb["g0"], dtype)
+    imu_valid = jnp.asarray(pb["imu_valid"])
 
     results = {}
     counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]

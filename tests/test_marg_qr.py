@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from __graft_entry__ import _tiny_problem
+from lfvio_tpu.runtime.profiling import make_window_problem
 from lfvio_tpu.backend import SolverConfig, PriorFactor
 from lfvio_tpu.backend.marginalize import (
     marginalize_old,
@@ -33,7 +33,24 @@ CFG = SolverConfig(max_iterations=4, estimate_td=False, estimate_extrinsic=False
 
 
 def _problem(dtype=jnp.float64, n_feat=64):
-    return _tiny_problem(dtype, n_feat=n_feat)
+    """(state, grid, pre, sqrt_info, imu_valid, prior, gravity) at test
+    scale, from the shared production-problem builder."""
+    from lfvio_tpu.imu import preintegrate_parallel, whiten_covariance
+
+    pb = make_window_problem(n_feat, dtype, imu_samples=16)
+    noise = pb["noise"]
+    pre = jax.vmap(
+        lambda d, ac, gy, a0, g0, ba, bg: preintegrate_parallel(
+            d, ac, gy, a0, g0, ba, bg, noise
+        )
+    )(
+        jnp.asarray(pb["dts"], dtype), jnp.asarray(pb["accs"], dtype),
+        jnp.asarray(pb["gyrs"], dtype), jnp.asarray(pb["a0"], dtype),
+        jnp.asarray(pb["g0"], dtype),
+        pb["state"].ba[:-1], pb["state"].bg[:-1],
+    )
+    si, iv = whiten_covariance(pre.covariance, jnp.asarray(pb["imu_valid"]))
+    return (pb["state"], pb["grid"], pre, si, iv, pb["prior"], pb["gravity"])
 
 
 @pytest.mark.slow

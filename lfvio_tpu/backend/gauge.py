@@ -26,14 +26,9 @@ from ..geom import (
 from .state import WindowState
 
 
-def yaw_gauge_fix(out: WindowState, origin_p0, origin_q0) -> WindowState:
-    """Rotate/translate the solved window so frame 0 recovers the yaw and
-    position it had before the solve (origin_p0/origin_q0).
-
-    The Euler-singularity branch (|pitch| ~ 90 deg) falls back to a full
-    rotation re-anchor, as the reference does (estimator.cpp:568-576).
-    """
-    dtype = out.p.dtype
+def yaw_gauge_transform(out: WindowState, origin_p0, origin_q0):
+    """The gauge correction (rot_diff, pivot) that re-anchors frame 0 to
+    its pre-solve yaw/position (see yaw_gauge_fix)."""
     R_origin = quat_to_mat(origin_q0)
     ypr_origin = R_to_ypr_deg(R_origin)
     R00 = quat_to_mat(out.q[0])
@@ -46,8 +41,28 @@ def yaw_gauge_fix(out: WindowState, origin_p0, origin_q0) -> WindowState:
         jnp.abs(jnp.abs(ypr_new[1]) - 90.0) < 1.0
     )
     rot_diff = jnp.where(singular, R_origin @ R00.T, rot_yaw)
+    return rot_diff, out.p[0]
 
-    p = (out.p - out.p[0]) @ rot_diff.T + origin_p0
+
+def gauge_apply_pose(rot_diff, pivot, origin_p0, p, q):
+    """Apply the window's gauge correction to an EXTRA pose (the
+    relocalization loop pose rides the same correction — the reference
+    rotates relo_Pose with rot_diff in double2vector, estimator.cpp:605-611).
+    """
+    p_new = rot_diff @ (p - pivot) + origin_p0
+    q_new = quat_normalize(mat_to_quat(rot_diff @ quat_to_mat(q)))
+    return p_new, q_new
+
+
+def yaw_gauge_fix(out: WindowState, origin_p0, origin_q0) -> WindowState:
+    """Rotate/translate the solved window so frame 0 recovers the yaw and
+    position it had before the solve (origin_p0/origin_q0).
+
+    The Euler-singularity branch (|pitch| ~ 90 deg) falls back to a full
+    rotation re-anchor, as the reference does (estimator.cpp:568-576).
+    """
+    rot_diff, pivot = yaw_gauge_transform(out, origin_p0, origin_q0)
+    p = (out.p - pivot) @ rot_diff.T + origin_p0
     v = out.v @ rot_diff.T
     R_all = quat_to_mat(out.q)  # [W+1, 3, 3]
     q = quat_normalize(mat_to_quat(rot_diff[None] @ R_all))

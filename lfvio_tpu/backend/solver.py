@@ -363,7 +363,7 @@ def _schur_solve(H_pp, H_pl, H_ll, b_p, b_l, lam, used, dtype):
 
 
 def lm_loop(state, lin_fn, solve_fn, cost_fn, cfg: SolverConfig,
-            max_iter_dyn=None):
+            max_iter_dyn=None, apply_fn=None):
     """Generic Levenberg-Marquardt accept/reject loop (shared by the
     single-chip and the feature-sharded solver so their iteration semantics
     stay bit-identical). Three hot-path properties:
@@ -381,7 +381,9 @@ def lm_loop(state, lin_fn, solve_fn, cost_fn, cfg: SolverConfig,
         from the reference's wall-clock budget `max_solver_time`
         (estimator.cpp:810-825; ×0.8 when marginalizing old).
     """
-    dtype = state.p.dtype
+    if apply_fn is None:
+        apply_fn = apply_delta
+    dtype = jax.tree_util.tree_leaves(state)[0].dtype
     limit = jnp.asarray(
         cfg.max_iterations if max_iter_dyn is None else max_iter_dyn,
         jnp.int32,
@@ -406,7 +408,7 @@ def lm_loop(state, lin_fn, solve_fn, cost_fn, cfg: SolverConfig,
             step_ok = jnp.isfinite(dx).all() & jnp.isfinite(dlam).all()
             dx_s = jnp.where(step_ok, dx, 0.0)
             dlam_s = jnp.where(step_ok, dlam, 0.0)
-            s_new = apply_delta(s, dx_s, dlam_s, cfg)
+            s_new = apply_fn(s, dx_s, dlam_s, cfg)
             new_cost = cost_fn(s_new)
             new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
             accept = step_ok & (new_cost < cost)

@@ -102,6 +102,7 @@ class Estimator:
         # when split, measured on the v5e); the split costs one extra async
         # dispatch and nothing else — the prior never leaves the device.
         self._solve_step = jax.jit(self._solve_step_impl)
+        self._solve_step_relo = jax.jit(self._solve_step_relo_impl)
         self._marg_old = jax.jit(self._marg_old_impl)
         self._marg_new = jax.jit(self._marg_new_impl)
         self._triangulate = jax.jit(triangulate_grid)
@@ -175,6 +176,7 @@ class Estimator:
         self.relo_relative_q = None
         self.relo_relative_yaw = None
         self.relo_frame_stamp = None
+        self._relo_active = None  # armed loop match for the next solve
 
     # --------------------------------------------------------------- helpers
     def _tic0(self):
@@ -269,6 +271,40 @@ class Estimator:
         else:
             rn = rvalid = None
         return out, pre, sqrt_info, imu_valid, rn, rvalid, c0, c1
+
+    def _solve_step_relo_impl(
+        self, state, grid, dts, accs, gyrs, a0, g0, imu_valid_in,
+        prior, has_depth, origin_p0, origin_q0, max_iter_dyn,
+        relo_p0, relo_q0, relo_bearing, relo_mask,
+    ):
+        """Relo-augmented solve program: the per-frame solve with the loop
+        pose as a free block (estimator.cpp:777-808). Separate jit from the
+        hot path — compiled only when a loop match is active."""
+        from ..backend.relo import lm_solve_relo
+        from ..backend.gauge import yaw_gauge_transform, gauge_apply_pose
+
+        cfg = self.cfg
+        sd = cfg.solver_dtype
+        gravity = jnp.asarray([0.0, 0.0, cfg.g_norm], sd)
+        pre = jax.vmap(
+            lambda d, ac, gy, a_0, g_0, ba, bg: preintegrate_parallel(
+                d, ac, gy, a_0, g_0, ba, bg, cfg.imu_noise
+            )
+        )(dts, accs, gyrs, a0, g0, state.ba[:-1], state.bg[:-1])
+        sqrt_info, imu_valid = whiten_covariance(pre.covariance, imu_valid_in)
+        inv_d = triangulate_grid(state, grid, has_depth)
+        state = dataclasses.replace(state, inv_depth=inv_d)
+        out, rp, rq, c0, c1 = lm_solve_relo(
+            state, grid, pre, sqrt_info, imu_valid, prior, gravity,
+            self.scfg, relo_p0, relo_q0, relo_bearing, relo_mask,
+            max_iter_dyn=max_iter_dyn,
+        )
+        # The loop pose rides the same gauge correction as the window
+        # (reference rotates relo_Pose in double2vector, estimator.cpp:605-611).
+        rot, pivot = yaw_gauge_transform(out, origin_p0, origin_q0)
+        rp, rq = gauge_apply_pose(rot, pivot, origin_p0, rp, rq)
+        out = yaw_gauge_fix(out, origin_p0, origin_q0)
+        return out, pre, sqrt_info, imu_valid, rp, rq, c0, c1
 
     def _marg_old_impl(self, out, grid, pre, sqrt_info, imu_valid, prior):
         """MARGIN_OLD program (estimator.cpp:832-948 equivalent)."""
@@ -494,13 +530,14 @@ class Estimator:
         ids and unit bearings (old camera frame); (`prev_relo_p`,
         `prev_relo_q`) is the loop frame's pose in the pose-graph world.
 
-        TPU-first design note: the reference appends relo projection factors
-        plus one extra free pose block to its per-frame Ceres problem; our
-        fused device step is compiled with a static layout, so the (rare,
-        host-triggered) relo solve runs as a separate bearing-space PnP of
-        the loop frame against the window's triangulated landmarks — same
-        inputs, same outputs (relo_relative_t/q/yaw drift for the pose
-        graph), no recompile of the hot path.
+        TPU-first design: a bearing-space PnP of the loop frame against the
+        window's triangulated landmarks seeds the loop pose immediately
+        (this method's outputs), and the NEXT frame's solve runs the
+        relo-augmented program (backend/relo.py): the loop pose joins the BA
+        as a free 6-dim block with one relo projection row per matched
+        feature, exactly the reference's joint refinement — the refined
+        relative outputs land at that solve's finalize. The augmented
+        program is a separate jit, so the ordinary hot path never pays.
 
         Returns True when a drift estimate was produced.
         """
@@ -516,6 +553,8 @@ class Estimator:
         ric = self._ric0()
         tic0 = self._tic0()
         pw, bb = [], []
+        relo_bearing = np.zeros((self.cfg.n_feature_slots, 3))
+        relo_mask = np.zeros(self.cfg.n_feature_slots, bool)
         match_bearings = np.asarray(match_bearings, np.float64)
         for fid, b_old in zip(np.asarray(match_ids, np.int64), match_bearings):
             s = self.fm._id2slot.get(int(fid), -1)
@@ -526,7 +565,10 @@ class Estimator:
             p_cam = self.fm.bearing[s, a] * self.fm.depth[s]
             p_w = Ra @ (ric @ p_cam + tic0) + self.Ps[a]
             pw.append(p_w)
-            bb.append(b_old / max(np.linalg.norm(b_old), 1e-12))
+            b_u = b_old / max(np.linalg.norm(b_old), 1e-12)
+            bb.append(b_u)
+            relo_bearing[s] = b_u
+            relo_mask[s] = True
         if len(pw) < 6:
             return False
         pw = np.stack(pw)
@@ -565,6 +607,17 @@ class Estimator:
         self.drift_correct_r = hg.ypr_deg_to_R([dy, 0.0, 0.0])
         self.drift_correct_t = (
             np.asarray(prev_relo_p, np.float64) - self.drift_correct_r @ relo_t
+        )
+        # Arm the relo-augmented solve for the next frame: the loop pose is
+        # refined JOINTLY with the window (estimator.cpp:777-808), seeded
+        # with the PnP result; one-shot like the reference
+        # (relocalization_info is cleared in double2vector).
+        self._relo_active = dict(
+            bearing=relo_bearing, mask=relo_mask,
+            p=relo_t.copy(), q=hg.mat_to_quat(relo_r),
+            stamp=float(frame_stamp),
+            prev_p=np.asarray(prev_relo_p, np.float64).copy(),
+            prev_q=np.asarray(prev_relo_q, np.float64).copy(),
         )
         return True
 
@@ -636,7 +689,7 @@ class Estimator:
         else:
             origin_p0, origin_q0 = self.Ps[0], self.Qs[0]
 
-        out, pre, sqrt_info, imu_ok, rn, rvalid, c0, c1 = self._solve_step(
+        common = (
             state, grid,
             jnp.asarray(dts, sd), jnp.asarray(accs, sd), jnp.asarray(gyrs, sd),
             jnp.asarray(a0l, sd), jnp.asarray(g0l, sd), jnp.asarray(imu_valid),
@@ -644,6 +697,29 @@ class Estimator:
             jnp.asarray(origin_p0, sd), jnp.asarray(origin_q0, sd),
             jnp.asarray(self._iterations_allowed(), jnp.int32),
         )
+        relo = self._relo_active if not first else None
+        if relo is not None:
+            out, pre, sqrt_info, imu_ok, relo_p, relo_q, c0, c1 = (
+                self._solve_step_relo(
+                    *common,
+                    jnp.asarray(relo["p"], sd), jnp.asarray(relo["q"], sd),
+                    jnp.asarray(relo["bearing"], sd),
+                    jnp.asarray(relo["mask"]),
+                )
+            )
+            rn = rvalid = None
+            relo_refs = (relo_p, relo_q)
+            relo_meta = dict(
+                stamp=relo["stamp"], prev_p=relo["prev_p"],
+                prev_q=relo["prev_q"],
+            )
+            self._relo_active = None  # one-shot, like the reference
+        else:
+            out, pre, sqrt_info, imu_ok, rn, rvalid, c0, c1 = (
+                self._solve_step(*common)
+            )
+            relo_refs = None
+            relo_meta = None
         if self.marg_old:
             new_prior = self._marg_old(out, grid, pre, sqrt_info, imu_ok, prior)
         else:
@@ -654,10 +730,11 @@ class Estimator:
             device=(
                 (out.p, out.q, out.v, out.ba, out.bg,
                  out.tic, out.qic, out.td, out.inv_depth),
-                rn, rvalid,
+                rn, rvalid, relo_refs,
             ),
             t=t,
             first=first,
+            relo=relo_meta,
         )
         # Start the device→host copies NOW: by the time finalize_solve needs
         # these values (next frame), the transfer has already flown the
@@ -680,8 +757,10 @@ class Estimator:
         pend, self._pending = self._pending, None
         if host is None:
             host = jax.device_get(pend["device"])
-        state_host, rn, rvalid = host
+        state_host, rn, rvalid, relo_host = host
         self._write_back(*state_host)
+        if relo_host is not None and pend.get("relo") is not None:
+            self._finalize_relo(pend["relo"], *relo_host)
         if rn is not None:
             self._gate_observations(np.asarray(rn), np.asarray(rvalid))
         if not pend["first"] and self._failure_detection():
@@ -697,6 +776,40 @@ class Estimator:
         if not pend["first"]:
             self.last_R0 = hg.quat_to_mat(self.Qs[0])
             self.last_P0 = self.Ps[0].copy()
+
+    def _finalize_relo(self, meta, relo_p, relo_q):
+        """Relative-pose outputs from the JOINTLY-refined loop pose
+        (double2vector, estimator.cpp:605-624). Runs at the relo solve's
+        finalize, before the window slides."""
+        relo_p = np.asarray(relo_p, np.float64)
+        relo_q = np.asarray(relo_q, np.float64)
+        idx = None
+        for i in range(NFRAMES):
+            if abs(self.headers[i] - meta["stamp"]) < 1e-7:
+                idx = i
+        if idx is None:
+            return
+
+        def norm_deg(a):
+            return (a + 180.0) % 360.0 - 180.0
+
+        relo_r = hg.quat_to_mat(relo_q)
+        R_idx = hg.quat_to_mat(self.Qs[idx])
+        self.relo_relative_t = relo_r.T @ (self.Ps[idx] - relo_p)
+        self.relo_relative_q = hg.mat_to_quat(relo_r.T @ R_idx)
+        self.relo_relative_yaw = norm_deg(
+            float(hg.R_to_ypr_deg(R_idx)[0])
+            - float(hg.R_to_ypr_deg(relo_r)[0])
+        )
+        prev_relo_r = hg.quat_to_mat(meta["prev_q"])
+        dy = norm_deg(
+            float(hg.R_to_ypr_deg(prev_relo_r)[0])
+            - float(hg.R_to_ypr_deg(relo_r)[0])
+        )
+        self.drift_correct_r = hg.ypr_deg_to_R([dy, 0.0, 0.0])
+        self.drift_correct_t = (
+            meta["prev_p"] - self.drift_correct_r @ relo_p
+        )
 
     # Reprojection gate: observations with residuals beyond this (sqrt_info
     # units, 1 px ~ 0.667) could be dropped post-solve. A/B on the synthetic

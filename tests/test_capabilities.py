@@ -132,3 +132,50 @@ def test_relocalization_drift_estimate(world, landmarks):
     assert abs(est.relo_relative_yaw) < 5.0
     # Drift correction recovers the planted pose-graph offset.
     assert abs(hg.R_to_ypr_deg(est.drift_correct_r)[0] - 12.0) < 5.0
+
+
+def test_relocalization_joint_refinement_beats_pnp(world, landmarks):
+    """The relo-augmented BA (loop pose as a free block in the window solve,
+    estimator.cpp:777-808 / backend/relo.py) must beat the PnP-only seed on
+    a NOISY loop match. Deterministic: runs are bit-reproducible."""
+    est = Estimator(EstimatorConfig(
+        n_feature_slots=64, solver_dtype=jnp.float64,
+    ))
+    duration, frame_rate, imu_rate = 3.0, 20.0, 200.0
+    pipe = run_bearing_stream(
+        est, world, landmarks, duration=duration, frame_rate=frame_rate,
+    )
+    assert est.solver_flag == est.NON_LINEAR
+
+    from lfvio_tpu.backend.state import WINDOW
+
+    idx = WINDOW - 2
+    t_loop = float(est.headers[idx])
+    rng = np.random.default_rng(7)
+    b_loop = cam_bearings(world, t_loop, landmarks, np.eye(3), np.zeros(3))
+    b_noisy = b_loop + 4e-3 * rng.standard_normal(b_loop.shape)
+    b_noisy /= np.linalg.norm(b_noisy, axis=-1, keepdims=True)
+    ids = np.arange(len(landmarks))
+    p_true, q_true = world.pose(t_loop)
+
+    ok = est.set_relo_frame(t_loop, ids, b_noisy, p_true, q_true)
+    assert ok
+    # PnP-only estimate (the seed): relative transform vs the matched window
+    # frame should be ~0 (the loop frame IS that keyframe re-observed).
+    pnp_err = float(np.linalg.norm(est.relo_relative_t))
+
+    # Drive a few more frames so the relo-augmented solve runs + finalizes.
+    n_more = int(0.4 * imu_rate)
+    per = int(round(imu_rate / frame_rate))
+    k0 = int(round(duration * imu_rate)) + 1
+    for k in range(k0, k0 + n_more):
+        t = k / imu_rate
+        if k % per == 0:
+            pipe.feed_frame(t, t)
+        acc, om = world.imu_batch(np.asarray([t]))
+        pipe.feed_imu(t, acc[0], om[0])
+    pipe.flush()
+
+    refined_err = float(np.linalg.norm(est.relo_relative_t))
+    assert refined_err < 0.1, refined_err
+    assert refined_err < pnp_err, (refined_err, pnp_err)

@@ -101,8 +101,16 @@ def main():
         annulus=(W / 2.0, H / 2.0, 500.0 * 0.95, 160.0), equalize=True,
         dtype=jnp.float32,
     )
-    est = Estimator(EstimatorConfig(n_feature_slots=256, solver_dtype=jnp.float32))
-    pipe = VioPipeline(fe, est)
+    # Deep-pipeline configuration (production serving mode): 3 tracker
+    # frames in flight, solve results integrated 2 frames late, publish
+    # throttled to the reference rig's 10 Hz (mindvision.yaml freq: 10 on
+    # a 15 fps camera) with unpublished frames' harvests batched — every
+    # device->host fetch has crossed the link before it is needed.
+    est = Estimator(EstimatorConfig(
+        n_feature_slots=256, solver_dtype=jnp.float32, solve_lag=2,
+        max_imu_per_interval=64,
+    ))
+    pipe = VioPipeline(fe, est, freq=10.0, depth=3)
 
     # Warmup phase: run ~60% of the stream (compiles everything + initializes).
     t_split = duration * 0.6

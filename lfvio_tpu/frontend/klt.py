@@ -89,7 +89,8 @@ def _sample_all(patches, oy, ox, rows, cols):
 PAD = HALF + SEARCH_MARGIN + 4  # edge-replication pad so windows never clip
 
 
-def _track_level(img_prev, img_next, pos_prev_l, guess, valid):
+def _track_level(img_prev, img_next, pos_prev_l, guess, valid,
+                 win: int = WIN, n_iters: int = N_ITERS):
     """One pyramid level of LK for all features, fully batched.
 
     pos_prev_l: [N, 2] (x, y) feature positions in this level's coordinates.
@@ -100,6 +101,9 @@ def _track_level(img_prev, img_next, pos_prev_l, guess, valid):
     relative to coarse levels) never clips — the same effect as OpenCV's
     border handling in calcOpticalFlowPyrLK.
     """
+    half = win // 2
+    tp = win + 4
+    patch = win + 1 + 2 * SEARCH_MARGIN
     H0, W0 = img_prev.shape
     img_prev = jnp.pad(img_prev, PAD, mode="edge")
     img_next = jnp.pad(img_next, PAD, mode="edge")
@@ -111,16 +115,16 @@ def _track_level(img_prev, img_next, pos_prev_l, guess, valid):
     # --- template patches from prev image (fixed during iterations) --------
     tl_t = jnp.stack(
         [
-            jnp.clip(jnp.floor(py) - HALF - 2, 0, H - TP),
-            jnp.clip(jnp.floor(px) - HALF - 2, 0, W - TP),
+            jnp.clip(jnp.floor(py) - half - 2, 0, H - tp),
+            jnp.clip(jnp.floor(px) - half - 2, 0, W - tp),
         ],
         axis=1,
     ).astype(jnp.int32)
-    tpatch = _extract_patches(img_prev, tl_t, TP)  # [N, TP, TP]
-    off_ty = py - tl_t[:, 0].astype(dtype) - HALF
-    off_tx = px - tl_t[:, 1].astype(dtype) - HALF
-    # Template + central-difference gradients from ONE (WIN+2)² sample.
-    T_ext = _sample_all(tpatch, off_ty - 1.0, off_tx - 1.0, WIN + 2, WIN + 2)
+    tpatch = _extract_patches(img_prev, tl_t, tp)  # [N, tp, tp]
+    off_ty = py - tl_t[:, 0].astype(dtype) - half
+    off_tx = px - tl_t[:, 1].astype(dtype) - half
+    # Template + central-difference gradients from ONE (win+2)² sample.
+    T_ext = _sample_all(tpatch, off_ty - 1.0, off_tx - 1.0, win + 2, win + 2)
     T = T_ext[:, 1:-1, 1:-1]
     Tx = 0.5 * (T_ext[:, 1:-1, 2:] - T_ext[:, 1:-1, :-2])
     Ty = 0.5 * (T_ext[:, 2:, 1:-1] - T_ext[:, :-2, 1:-1])
@@ -131,27 +135,27 @@ def _track_level(img_prev, img_next, pos_prev_l, guess, valid):
     det = Gxx * Gyy - Gxy * Gxy
     tr = Gxx + Gyy
     min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
-    good_G = min_eig / (WIN * WIN) > MIN_EIG_THR
+    good_G = min_eig / (win * win) > MIN_EIG_THR
     inv_det = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
     # --- search patches from next image around expected location -----------
     target = pos_prev_l + guess
     tl_s = jnp.stack(
         [
-            jnp.clip(jnp.floor(target[:, 1]) - HALF - SEARCH_MARGIN, 0, H - PATCH),
-            jnp.clip(jnp.floor(target[:, 0]) - HALF - SEARCH_MARGIN, 0, W - PATCH),
+            jnp.clip(jnp.floor(target[:, 1]) - half - SEARCH_MARGIN, 0, H - patch),
+            jnp.clip(jnp.floor(target[:, 0]) - half - SEARCH_MARGIN, 0, W - patch),
         ],
         axis=1,
     ).astype(jnp.int32)
-    spatch = _extract_patches(img_next, tl_s, PATCH)  # [N, PATCH, PATCH]
+    spatch = _extract_patches(img_next, tl_s, patch)  # [N, patch, patch]
     base_sy = tl_s[:, 0].astype(dtype)
     base_sx = tl_s[:, 1].astype(dtype)
 
     def body(k, carry):
         g, active = carry
-        oy = jnp.clip(py + g[:, 1] - base_sy - HALF, 0.0, PATCH - WIN - 1.0)
-        ox = jnp.clip(px + g[:, 0] - base_sx - HALF, 0.0, PATCH - WIN - 1.0)
-        S = _sample_all(spatch, oy, ox, WIN, WIN)
+        oy = jnp.clip(py + g[:, 1] - base_sy - half, 0.0, patch - win - 1.0)
+        ox = jnp.clip(px + g[:, 0] - base_sx - half, 0.0, patch - win - 1.0)
+        S = _sample_all(spatch, oy, ox, win, win)
         r = S - T
         bx = jnp.sum(Tx * r, axis=(1, 2))
         by = jnp.sum(Ty * r, axis=(1, 2))
@@ -162,7 +166,7 @@ def _track_level(img_prev, img_next, pos_prev_l, guess, valid):
         still = active & (dx * dx + dy * dy > 1e-4)  # cv eps 0.01^2
         return g_new, still
 
-    g_fin, _ = jax.lax.fori_loop(0, N_ITERS, body, (guess, good_G & valid))
+    g_fin, _ = jax.lax.fori_loop(0, n_iters, body, (guess, good_G & valid))
 
     # Border validity of the final position in REAL image coordinates.
     fx = px + g_fin[:, 0]
@@ -175,19 +179,27 @@ def _track_level(img_prev, img_next, pos_prev_l, guess, valid):
     )
     # Also require the sample window stayed inside the cached patch.
     off_ok = (
-        (fy - base_sy - HALF >= 0.0)
-        & (fy - base_sy - HALF <= PATCH - WIN - 1)
-        & (fx - base_sx - HALF >= 0.0)
-        & (fx - base_sx - HALF <= PATCH - WIN - 1)
+        (fy - base_sy - half >= 0.0)
+        & (fy - base_sy - half <= patch - win - 1)
+        & (fx - base_sx - half >= 0.0)
+        & (fx - base_sx - half <= patch - win - 1)
     )
     return g_fin, valid & good_G & inb & off_ok
 
 
-def pyramidal_lk(pyr_prev, pyr_next, pts_prev, valid, n_levels: int = 3):
+def pyramidal_lk(pyr_prev, pyr_next, pts_prev, valid, n_levels: int = 3,
+                 refine_win: int = 0):
     """Track pts_prev ([N, 2] (x, y) full-res pixels) from pyr_prev to
     pyr_next. Returns (pts_next [N, 2], status [N] bool).
 
     pyr_*: lists of level images from gaussian_pyramid (len n_levels+1).
+
+    refine_win > 0 runs one extra level-0 pass with that (smaller) window
+    after the standard pyramid: the 41-px window averages the curved PAL
+    flow field (a sub-pixel bias on short-focal rigs); a small final window
+    re-centers on the feature itself. Refined positions are used only where
+    the refinement stays within 1.5 px of the converged track (guards
+    against small-window drift on weak texture).
     """
     N = pts_prev.shape[0]
     dtype = pyr_prev[0].dtype
@@ -201,5 +213,13 @@ def pyramidal_lk(pyr_prev, pyr_next, pts_prev, valid, n_levels: int = 3):
             ok = ok & ok_l
         if l > 0:
             g = g * 2.0
+    if refine_win:
+        g_ref, ok_ref = _track_level(
+            pyr_prev[0], pyr_next[0], pts_prev, g, ok,
+            win=int(refine_win), n_iters=10,
+        )
+        close = jnp.sum((g_ref - g) ** 2, axis=-1) < 1.5**2
+        use = ok_ref & close
+        g = jnp.where(use[:, None], g_ref, g)
     pts_next = pts_prev + g
     return pts_next, ok

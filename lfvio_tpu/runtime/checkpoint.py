@@ -19,7 +19,7 @@ PRIOR_FIELDS = (
 def save_checkpoint(path: str, est):
     # A deferred solve still in flight must land before snapshotting
     # (pipelined mode — see Estimator.process_image_arrays defer_solve).
-    if getattr(est, "_pending", None) is not None:
+    while getattr(est, "_pending", None) is not None:
         est.finalize_solve()
     return _save_checkpoint(path, est)
 

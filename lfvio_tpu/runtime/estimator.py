@@ -73,6 +73,14 @@ class EstimatorConfig:
     # device time, see calibrate_solver_budget) passed to the jitted solve —
     # no recompile, the capped iterations become lax.cond no-ops.
     max_solver_time: float = 0.0
+    # Frames a solve result may lag before its values are integrated
+    # (1 = classic: finalize before the next dispatch; 2 = deep pipeline:
+    # the window slides EAGERLY at dispatch with propagated values and the
+    # solved values are rebased through the slides when they arrive — the
+    # device->host fetch leaves the critical path entirely on a
+    # high-latency link). Estimates start from one-solve-stale states at
+    # lag 2; LM re-converges, accuracy validated by the e2e suite.
+    solve_lag: int = 1
     solver_dtype: object = jnp.float32
     solve_device: str | None = None  # None = default backend
 
@@ -169,8 +177,9 @@ class Estimator:
         # Measured per-LM-iteration device time (calibrate_solver_budget);
         # None until calibrated -> the wall budget cannot bind.
         self._iter_time = getattr(self, "_iter_time", None)
-        # Deferred-solve handle (see process_image_arrays defer_solve).
-        self._pending = None
+        # Deferred-solve handles, oldest first (see process_image_arrays
+        # defer_solve); length bounded by cfg.solve_lag.
+        self._pending_q = []
         # Relocalization hooks (estimator_node.cpp:261-285).
         self.relo_relative_t = None
         self.relo_relative_q = None
@@ -476,7 +485,8 @@ class Estimator:
                     self.solver_flag = self.NON_LINEAR
                     self._dispatch_solve(t, first=True)
                     if not defer_solve:
-                        self.finalize_solve()
+                        while self._pending_q:
+                            self.finalize_solve()
                 else:
                     self._slide_window()
             else:
@@ -491,7 +501,8 @@ class Estimator:
         else:
             self._dispatch_solve(t, first=False)
             if not defer_solve:
-                self.finalize_solve()
+                while self._pending_q:
+                    self.finalize_solve()
 
     def process_image(self, feats: dict, t: float):
         """Dict-interface wrapper: feats id -> (bearing3, vel3, row)."""
@@ -673,6 +684,8 @@ class Estimator:
         :meth:`finalize_solve`."""
         if self.frame_count < WINDOW:
             return
+        while len(self._pending_q) >= max(self.cfg.solve_lag, 1):
+            self.finalize_solve()  # safety net for direct (non-pipeline) use
         sd = self.cfg.solver_dtype
         dts, accs, gyrs, a0l, g0l, imu_valid = self._padded_window_arrays()
         state = self._device_state()
@@ -682,12 +695,15 @@ class Estimator:
 
         # Gauge-fix origin: pre-solve frame 0 (or the last good pose after a
         # detected failure, estimator.cpp:536-547).
+        # .copy(): these are views of live mirrors that the eager slide
+        # (solve_lag > 1) mutates right after the async dispatch — the same
+        # zero-copy aliasing race fixed in _device_state.
         if self.failure_occur:
-            origin_p0 = self.last_P0
+            origin_p0 = self.last_P0.copy()
             origin_q0 = hg.mat_to_quat(self.last_R0)
             self.failure_occur = False
         else:
-            origin_p0, origin_q0 = self.Ps[0], self.Qs[0]
+            origin_p0, origin_q0 = self.Ps[0].copy(), self.Qs[0].copy()
 
         common = (
             state, grid,
@@ -726,7 +742,7 @@ class Estimator:
             new_prior = self._marg_new(out, prior)
         # The prior stays device-resident; only the window state comes back.
         self.prior = new_prior
-        self._pending = dict(
+        pend = dict(
             device=(
                 (out.p, out.q, out.v, out.ba, out.bg,
                  out.tic, out.qic, out.td, out.inv_depth),
@@ -735,47 +751,166 @@ class Estimator:
             t=t,
             first=first,
             relo=relo_meta,
+            eager_slid=self.cfg.solve_lag > 1,
+            slides=[],  # slides that happened AFTER this dispatch
+            # Depth write-back applicability snapshot (slots may re-anchor
+            # or be reassigned between dispatch and a lagged finalize).
+            snap_id=self.fm.feature_id.copy(),
+            snap_anchor=self.fm.anchor.copy(),
+            snap_used=np.asarray(self.fm.used_mask()).copy(),
         )
+        self._pending_q.append(pend)
         # Start the device→host copies NOW: by the time finalize_solve needs
-        # these values (next frame), the transfer has already flown the
-        # tunnel and the harvest costs ~0 instead of a full round trip.
-        for leaf in jax.tree_util.tree_leaves(self._pending["device"]):
+        # these values, the transfer has already flown the tunnel and the
+        # harvest costs ~0 instead of a full round trip.
+        for leaf in jax.tree_util.tree_leaves(pend["device"]):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
+        if pend["eager_slid"]:
+            # Deep-pipeline mode: slide NOW with the propagated (pre-solve)
+            # mirrors so the next frame's bookkeeping proceeds without the
+            # solve result; record the slide for every in-flight solve.
+            marg = self.marg_old
+            self._slide_window()
+            for p_ in self._pending_q:
+                p_["slides"].append(bool(marg))
+
+    @property
+    def _pending(self):
+        # Back-compat view (checkpointing, tests): truthy while any solve
+        # is in flight.
+        return self._pending_q[0] if self._pending_q else None
+
+    def pending_count(self):
+        return len(self._pending_q)
 
     def pending_solve_refs(self):
-        """Device arrays of the pending solve (None when nothing pending) —
-        for a caller-batched jax.device_get shared with other fetches."""
-        return None if self._pending is None else self._pending["device"]
+        """Device arrays of the OLDEST pending solve (None when nothing
+        pending) — for a caller-batched jax.device_get shared with other
+        fetches."""
+        return None if not self._pending_q else self._pending_q[0]["device"]
+
+    def newest_pending_refs(self):
+        return None if not self._pending_q else self._pending_q[-1]["device"]
 
     def finalize_solve(self, host=None):
-        """Complete a pending solve: write-back, (optional) outlier gate,
-        failure detection, window slide, trajectory record. ``host`` may
-        carry the already-fetched values of :meth:`pending_solve_refs`."""
-        if self._pending is None:
+        """Complete the OLDEST pending solve: write-back, (optional)
+        outlier gate, failure detection, window slide (unless it already
+        happened eagerly at dispatch — solve_lag > 1), trajectory record.
+        ``host`` may carry the already-fetched values of
+        :meth:`pending_solve_refs`."""
+        if not self._pending_q:
             return
-        pend, self._pending = self._pending, None
+        pend = self._pending_q.pop(0)
         if host is None:
             host = jax.device_get(pend["device"])
         state_host, rn, rvalid, relo_host = host
-        self._write_back(*state_host)
+        if pend["eager_slid"]:
+            self._write_back_lagged(pend, state_host)
+        else:
+            self._write_back(*state_host)
         if relo_host is not None and pend.get("relo") is not None:
             self._finalize_relo(pend["relo"], *relo_host)
-        if rn is not None:
+        if rn is not None and not pend["eager_slid"]:
             self._gate_observations(np.asarray(rn), np.asarray(rvalid))
         if not pend["first"] and self._failure_detection():
             self.failure_occur = True
             self.clear_state()
             return
-        self._slide_window()
+        if not pend["eager_slid"]:
+            self._slide_window()
         if not pend["first"]:
             self.fm.remove_failures()
-        self._record_output(pend["t"])
-        self.last_R = hg.quat_to_mat(self.Qs[WINDOW])
-        self.last_P = self.Ps[WINDOW].copy()
-        if not pend["first"]:
-            self.last_R0 = hg.quat_to_mat(self.Qs[0])
-            self.last_P0 = self.Ps[0].copy()
+        if pend["eager_slid"]:
+            # The dispatched frame's solved pose (pre-slide slot W).
+            p_s, q_s = state_host[0], state_host[1]
+            self.times.append(pend["t"])
+            self.traj_p.append(np.asarray(p_s[WINDOW], np.float64))
+            self.traj_q.append(np.asarray(q_s[WINDOW], np.float64))
+            self.last_R = hg.quat_to_mat(np.asarray(q_s[WINDOW], np.float64))
+            self.last_P = np.asarray(p_s[WINDOW], np.float64).copy()
+            if not pend["first"]:
+                self.last_R0 = hg.quat_to_mat(np.asarray(q_s[0], np.float64))
+                self.last_P0 = np.asarray(p_s[0], np.float64).copy()
+        else:
+            self._record_output(pend["t"])
+            self.last_R = hg.quat_to_mat(self.Qs[WINDOW])
+            self.last_P = self.Ps[WINDOW].copy()
+            if not pend["first"]:
+                self.last_R0 = hg.quat_to_mat(self.Qs[0])
+                self.last_P0 = self.Ps[0].copy()
+
+    def _write_back_lagged(self, pend, state_host):
+        """Rebase a LAGGED solve result onto the current (already slid,
+        IMU-propagated) mirrors: map each solved window slot through the
+        slides that happened since dispatch, then re-propagate the trailing
+        slots that were created afterwards from their corrected
+        predecessors using the buffered interval IMU samples."""
+        p, q, v, ba, bg, tic, qic, td, inv_depth = [
+            np.asarray(a, np.float64) for a in state_host
+        ]
+        src = np.arange(NFRAMES)
+        n_old = 0
+        for marg_old in pend["slides"]:
+            if marg_old:
+                src = np.concatenate([src[1:], [-1]])
+                n_old += 1
+            else:
+                src = np.concatenate([src[: WINDOW - 1], src[WINDOW:], [-1]])
+        ok = src >= 0
+        self.Ps[ok] = p[src[ok]]
+        self.Qs[ok] = q[src[ok]]
+        self.Vs[ok] = v[src[ok]]
+        self.Bas[ok] = ba[src[ok]]
+        self.Bgs[ok] = bg[src[ok]]
+        if self.cfg.estimate_extrinsic:
+            self.tic = tic.copy()
+            self.qic = qic.copy()
+        if self.cfg.estimate_td:
+            self.td = float(td)
+        # Trailing slots created after dispatch: re-propagate from the
+        # corrected predecessor with the buffered interval samples.
+        for j in np.where(~ok)[0]:
+            if j > 0:
+                self._propagate_slot(int(j))
+        # Depths: only slots still holding the same feature at the same
+        # physical anchor (anchor index shifted by the old-slides count).
+        applicable = (
+            pend["snap_used"]
+            & (self.fm.feature_id == pend["snap_id"])
+            & (self.fm.anchor == pend["snap_anchor"] - n_old)
+        )
+        self.fm.mark_solved_depths(inv_depth, applicable)
+
+    def _propagate_slot(self, j):
+        """Midpoint-propagate mirror slot j from slot j-1 over its buffered
+        interval samples (same scheme as process_imu)."""
+        n = int(self._imu_n[j])
+        P = self.Ps[j - 1].copy()
+        Q = self.Qs[j - 1].copy()
+        V = self.Vs[j - 1].copy()
+        Ba = self.Bas[j - 1].copy()
+        Bg = self.Bgs[j - 1].copy()
+        self.Bas[j] = Ba
+        self.Bgs[j] = Bg
+        g = np.array([0.0, 0.0, self.cfg.g_norm])
+        acc0 = self._imu_a0[j].copy()
+        gyr0 = self._imu_g0[j].copy()
+        for k in range(n):
+            dt = self._imu_dts[j, k]
+            acc = self._imu_accs[j, k]
+            gyr = self._imu_gyrs[j, k]
+            un_acc_0 = hg.quat_to_mat(Q) @ (acc0 - Ba) - g
+            un_gyr = 0.5 * (gyr0 + gyr) - Bg
+            Q = hg.quat_normalize(hg.quat_mul(Q, hg.so3_exp(un_gyr * dt)))
+            un_acc_1 = hg.quat_to_mat(Q) @ (acc - Ba) - g
+            un_acc = 0.5 * (un_acc_0 + un_acc_1)
+            P = P + dt * V + 0.5 * dt * dt * un_acc
+            V = V + dt * un_acc
+            acc0, gyr0 = acc, gyr
+        self.Ps[j] = P
+        self.Qs[j] = Q
+        self.Vs[j] = V
 
     def _finalize_relo(self, meta, relo_p, relo_q):
         """Relative-pose outputs from the JOINTLY-refined loop pose

@@ -17,6 +17,67 @@ from .tracker import FrontEnd
 from .estimator import Estimator, EstimatorConfig
 
 
+class _Harvester:
+    """Background device→host harvester. On this tunnel the FIRST blocking
+    access after a batch of async copies pays a full round trip (the plugin
+    flushes lazily); a daemon thread touches every in-flight output as soon
+    as it is dispatched, so the round trip overlaps the main thread's work
+    and the values are already cached on the arrays when the pipeline
+    harvests them (~0 ms). Pure optimization: the main thread's device_get
+    remains the correctness path if the thread falls behind."""
+
+    def __init__(self, n_workers: int = 3):
+        import atexit
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._threads = []
+        atexit.register(self.stop)
+        # Several workers: each blocking harvest costs one link round trip
+        # (the runtime flushes pending copies at the first blocking access);
+        # with one worker the round trips serialize and the thread falls
+        # behind the frame rate — overlapping them keeps every in-flight
+        # output warm. The PJRT client is thread-safe; harvesting is
+        # read-only (np.asarray caches on the array object).
+        for i in range(n_workers):
+            th = threading.Thread(
+                target=self._run, name=f"lfvio-harvester-{i}", daemon=True
+            )
+            th.start()
+            self._threads.append(th)
+
+    def _run(self):
+        while True:
+            leaves = self._q.get()
+            if leaves is None:
+                self._q.put(None)  # let sibling workers exit too
+                return
+            try:
+                for leaf in leaves:
+                    np.asarray(leaf)
+            except Exception:  # noqa: BLE001 — best-effort prefetch only
+                pass
+
+    def stop(self):
+        """Drain and join workers (atexit: a daemon thread blocked inside
+        the runtime at interpreter teardown aborts the process)."""
+        self._q.put(None)
+        for th in self._threads:
+            th.join(timeout=2.0)
+        self._threads = []
+
+    def push(self, tree):
+        import jax
+
+        leaves = [
+            l for l in jax.tree_util.tree_leaves(tree)
+            if hasattr(l, "copy_to_host_async")
+        ]
+        if leaves and self._threads:
+            self._q.put(leaves)
+
+
 class VioPipeline:
     def __init__(self, frontend: FrontEnd, estimator: Estimator, freq: float = 0.0,
                  td: float = 0.0, on_odometry=None, depth: int = 3):
@@ -33,6 +94,7 @@ class VioPipeline:
         self.depth = max(int(depth), 1)
         self.on_odometry = on_odometry  # callback(t, p, q, v) at IMU rate
         self._last_pub_t = -1e18
+        self._last_pub_decision = -1e18  # dispatch-order throttle state
         self._last_imu = None  # (t, acc, gyr)
         self._last_frame_t = None
         self.n_restarts = 0
@@ -41,17 +103,19 @@ class VioPipeline:
         # the estimator may have a solve in flight (defer_solve) whose
         # finalize must see exactly the state at dispatch time.
         self._est_imu_queue = []
-        self._last_sync_t = None  # sync time of the frame whose solve is in flight
-        # Depth-2 frame pipeline: tracker dispatches run one frame ahead of
-        # their host processing (the device slot chain advances at dispatch,
-        # so no host sync is needed in between). Each entry:
+        self._sync_q = []  # sync times of frames whose solves are in flight
+        # Depth-N frame pipeline: tracker dispatches run ahead of their
+        # host processing (the device slot chain advances at dispatch, so
+        # no host sync is needed in between). Each entry:
         # (handle, t, td_pair, publish, imu_batch-for-that-frame).
         self._fe_inflight = []
+        self._fe_deferred = []  # unpublished frames awaiting batched harvest
         # High-rate IMU-propagated state (estimator_node.cpp predict/update):
         # the low-latency output between the ~10 Hz solver updates.
         self._recent_imu = []  # samples since the last solved frame
         self._tmp = None  # (P, Q, V, Ba, Bg, acc0, gyr0, t0)
         self.high_rate = []  # list of (t, p[3], q[4], v[3])
+        self._harvester = None  # lazy: only for async (dispatch-capable) FEs
 
     @classmethod
     def from_yaml(cls, path, n_slots: int = 256, dtype=None, **kw):
@@ -65,6 +129,9 @@ class VioPipeline:
         return rig.make_pipeline(
             n_slots=n_slots, dtype=dtype or jnp.float32, **kw
         )
+
+    def _solve_lag(self) -> int:
+        return max(getattr(self.est.cfg, "solve_lag", 1), 1)
 
     @property
     def _td_now(self) -> float:
@@ -129,7 +196,9 @@ class VioPipeline:
         self._pending = []
         self._est_imu_queue = []
         self._fe_inflight = []
-        self._last_sync_t = None
+        self._fe_deferred = []
+        self._sync_q = []
+        self._last_pub_decision = -1e18
         self._last_imu = None
         self._recent_imu = []
         self._tmp = None
@@ -211,19 +280,27 @@ class VioPipeline:
         synchronously at depth 1 — bit-identical estimator inputs, no
         device pipelining.
         """
+        # Frequency throttle (feature_tracker_node.cpp:51-62). Decisions
+        # are made in DISPATCH order: with deferred processing the
+        # processing-time _last_pub_t lags several frames and would never
+        # throttle.
         publish = True
-        if self.freq > 0 and (t - self._last_pub_t) < 1.0 / self.freq:
-            publish = False
+        if self.freq > 0:
+            if (t - self._last_pub_decision) < 1.0 / self.freq - 1e-9:
+                publish = False
+            else:
+                self._last_pub_decision = t
 
         if not hasattr(self.fe, "dispatch"):
             # Synchronous depth-1 path for duck-typed stub frontends.
             import jax
 
-            pend = self.est.pending_solve_refs()
-            est_host = jax.device_get(pend) if pend is not None else None
-            self.est.finalize_solve(est_host)
-            if pend is not None and self._last_sync_t is not None:
-                self._update_tmp_state(self._last_sync_t)
+            if self.est.pending_count() >= self._solve_lag():
+                pend = self.est.pending_solve_refs()
+                est_host = jax.device_get(pend)
+                self.est.finalize_solve(est_host)
+                if self._sync_q:
+                    self._update_tmp_state(self._sync_q.pop(0))
             self._drain_est_imu()
             out = self.fe.process_arrays(img, t, publish=publish)
             self._publish_frame(out, t, td_pair, publish)
@@ -235,6 +312,18 @@ class VioPipeline:
         for leaf in jax.tree_util.tree_leaves(handle[2]):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
+        if self._harvester is None:
+            import os
+
+            # Off by default: measured on the tunneled v5e, background
+            # harvesting does not beat the in-line combined fetch (the
+            # link serves ~one round trip per frame either way and the
+            # threads contend on the same buffers). Kept behind an env
+            # knob for faster links where prefetch can win.
+            n_w = int(os.environ.get("LFVIO_HARVEST_WORKERS", "0"))
+            self._harvester = _Harvester(n_w) if n_w > 0 else False
+        if self._harvester:
+            self._harvester.push(handle[2])
         # This frame's estimator IMU batch: everything queued since the
         # previous frame event (its boundary-interpolated sample included).
         imu_batch, self._est_imu_queue = self._est_imu_queue, []
@@ -245,20 +334,41 @@ class VioPipeline:
     def _advance_one(self):
         """Process the oldest in-flight frame (host side): harvest its
         tracker outputs together with the previous solve's, finalize that
-        solve, replay the frame's IMU, and dispatch its own solve."""
+        solve, replay the frame's IMU, and dispatch its own solve.
+
+        Unpublished frames (freq throttling, the reference's `freq: 10` on
+        a 15 fps stream) DEFER their host bookkeeping: their harvests batch
+        into the next published frame's single round trip, so a throttled
+        stream pays one link RT per PUBLISHED frame, not per input frame.
+        """
         import jax
 
         handle, t, td_pair, publish, imu_batch = self._fe_inflight.pop(0)
-        pend = self.est.pending_solve_refs()
+        # Fetch the oldest solve only when its result is DUE (the queue is
+        # at the estimator's solve_lag): at lag 2 the copy has been in
+        # flight for two frames and the harvest is ~free.
+        due = self.est.pending_count() >= self._solve_lag()
+        if not publish and not due:
+            self._fe_deferred.append((handle, t, imu_batch))
+            return
+        pend = self.est.pending_solve_refs() if due else None
+        deferred, self._fe_deferred = self._fe_deferred, []
         # ONE combined fetch: the tunnel serves a tree device_get in a
-        # single round trip; both subtrees were async-copied at dispatch.
-        fe_host, est_host = jax.device_get((handle[2], pend))
+        # single round trip; all subtrees were async-copied at dispatch.
+        def_hosts, fe_host, est_host = jax.device_get(
+            ([d[0][2] for d in deferred], handle[2], pend)
+        )
         if pend is not None:
             self.est.finalize_solve(est_host)
-            if self._last_sync_t is not None:
+            if self._sync_q:
                 # Re-seed the high-rate propagation from the just-finalized
                 # solve — the reference's update() at solve completion.
-                self._update_tmp_state(self._last_sync_t)
+                self._update_tmp_state(self._sync_q.pop(0))
+        # Replay deferred (unpublished) frames in stream order first.
+        for (h, _th, batch), hh in zip(deferred, def_hosts):
+            for dt, acc, gyr in batch:
+                self.est.process_imu(dt, acc, gyr)
+            self.fe.finalize(h, hh)  # publish=False → bookkeeping only
         for dt, acc, gyr in imu_batch:
             self.est.process_imu(dt, acc, gyr)
         out = self.fe.finalize(handle, fe_host)
@@ -270,24 +380,38 @@ class VioPipeline:
             cams = out[5] if len(out) > 5 else None  # multi-camera frontends
             if pub.any():
                 self._last_pub_t = t
+                n_before = self.est.pending_count()
                 self.est.process_image_arrays(
                     ids, bearings, vels, rows, pub, t, defer_solve=True,
                     td_pair=td_pair, cams=cams,
                 )
-                self._last_sync_t = (
-                    t + td_pair if td_pair is not None else t + self._td_now
-                )
+                if self.est.pending_count() > n_before:
+                    self._sync_q.append(
+                        t + td_pair if td_pair is not None else
+                        t + self._td_now
+                    )
+                    if self._harvester:
+                        self._harvester.push(self.est.newest_pending_refs())
 
     def flush(self):
         """Complete all in-flight work (call at stream end / before
         checkpointing — the last frames' tracker + solve are otherwise
         still pending)."""
+        import jax
+
         while self._fe_inflight:
             self._advance_one()
-        pend = self.est.pending_solve_refs()
-        self.est.finalize_solve()
-        if pend is not None and self._last_sync_t is not None:
-            self._update_tmp_state(self._last_sync_t)
+        if self._fe_deferred:
+            deferred, self._fe_deferred = self._fe_deferred, []
+            hosts = jax.device_get([d[0][2] for d in deferred])
+            for (h, _th, batch), hh in zip(deferred, hosts):
+                for dt, acc, gyr in batch:
+                    self.est.process_imu(dt, acc, gyr)
+                self.fe.finalize(h, hh)
+        while self.est.pending_count():
+            self.est.finalize_solve()
+            if self._sync_q:
+                self._update_tmp_state(self._sync_q.pop(0))
         self._drain_est_imu()
 
     def run(self, stream, render_fn):

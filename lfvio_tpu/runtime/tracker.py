@@ -46,6 +46,11 @@ class FrontEnd:
         border: int = 1,
         dtype=jnp.float32,
         seed: int = 0,
+        refine_win: int = 15,  # small-window level-0 refinement: the 41-px
+        # window averages the curved PAL flow field (~0.6 px mean bias on
+        # the synthetic rig, measured vs exact ray-traced flow); a final
+        # 15-px pass cuts it to ~0.18 px. 0 disables (pure reference
+        # behavior).
         use_pallas: bool = False,  # Pallas LK available but NOT default:
         # the batched-XLA LK (klt.py shift-matrix matmuls over all features
         # at once) measures 0.07 ms/frame vs 12.8 ms for the Pallas kernel
@@ -61,6 +66,7 @@ class FrontEnd:
         self.n_levels = n_levels
         self.border = border
         self.dtype = dtype
+        self.refine_win = int(refine_win)
         self.use_pallas = bool(use_pallas)
         if annulus is not None:
             self.static_mask = annulus_mask(
@@ -180,10 +186,15 @@ class FrontEnd:
         pos_next, bear_next, valid_next) is everything the (possibly
         one-frame-late) host bookkeeping needs.
         """
-        lk = pyramidal_lk_pallas if self.use_pallas else pyramidal_lk
-        pts_next, ok = lk(
-            list(pyr_prev), list(pyr), pos, valid, self.n_levels
-        )
+        if self.use_pallas:
+            pts_next, ok = pyramidal_lk_pallas(
+                list(pyr_prev), list(pyr), pos, valid, self.n_levels
+            )
+        else:
+            pts_next, ok = pyramidal_lk(
+                list(pyr_prev), list(pyr), pos, valid, self.n_levels,
+                refine_win=self.refine_win,
+            )
         # Border containment (inBorder, BORDER_SIZE=1) + annulus mask.
         b = float(self.border)
         inb = (

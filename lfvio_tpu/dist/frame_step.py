@@ -25,8 +25,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-try:  # jax >= 0.8 moved shard_map out of experimental
-    from jax import shard_map  # type: ignore[attr-defined]
+try:  # jax >= 0.8: top-level shard_map (new-style, no check_rep kwarg)
+    from jax import shard_map as _new_shard_map
+
+    def shard_map(f=None, **kw):  # adapt legacy check_rep= callers
+        if kw.pop("check_rep", None) is False:
+            kw["check_vma"] = False  # the new-style equivalent
+        if f is None:
+            return lambda g: _new_shard_map(g, **kw)
+        return _new_shard_map(f, **kw)
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 

@@ -94,3 +94,66 @@ def test_ar_renderer_projects_consistent_with_camera():
     out = ar.render(img, R, t)
     assert (out > 0).any()
     assert out.shape == (384, 512, 3)
+
+
+def test_chessboard_corner_detection():
+    """Synthetic warped chessboard: all inner corners found, row-major
+    ordered, sub-pixel accurate (Chessboard.cc capability equivalent)."""
+    import numpy as np
+    from lfvio_tpu.calib.chessboard import find_chessboard_corners
+
+    rows, cols, sq = 5, 7, 36
+    H, W = 480, 640
+    # Projective warp of a canonical board.
+    Hm = np.array([
+        [0.95, 0.08, 120.0],
+        [-0.05, 1.02, 90.0],
+        [1.2e-4, -8e-5, 1.0],
+    ])
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    den = Hm[2, 0] * xx + Hm[2, 1] * yy + Hm[2, 2]
+    # Inverse-map pixels through Hm^-1 to board coordinates.
+    Hi = np.linalg.inv(Hm)
+    bx = (Hi[0, 0] * xx + Hi[0, 1] * yy + Hi[0, 2]) / (
+        Hi[2, 0] * xx + Hi[2, 1] * yy + Hi[2, 2])
+    by = (Hi[1, 0] * xx + Hi[1, 1] * yy + Hi[1, 2]) / (
+        Hi[2, 0] * xx + Hi[2, 1] * yy + Hi[2, 2])
+    cell_x = np.floor(bx / sq).astype(int)
+    cell_y = np.floor(by / sq).astype(int)
+    inside = (bx >= 0) & (by >= 0) & (bx < (cols + 1) * sq) & (by < (rows + 1) * sq)
+    img = np.where(inside & (((cell_x + cell_y) % 2) == 0), 230.0, 25.0)
+    img = np.where(inside, img, 128.0)
+    rng = np.random.default_rng(0)
+    img = img + rng.normal(0, 2.0, img.shape)
+
+    corners, found = find_chessboard_corners(img, (rows, cols))
+    assert found, "board not found"
+
+    # Ground-truth inner corners (board coords -> pixels via Hm), row-major.
+    gt = []
+    for j in range(1, rows + 1):
+        for i in range(1, cols + 1):
+            u, v = i * sq, j * sq
+            w = Hm[2, 0] * 0 + 1.0  # placeholder
+            x = (Hm[0, 0] * u + Hm[0, 1] * v + Hm[0, 2]) / (
+                Hm[2, 0] * u + Hm[2, 1] * v + Hm[2, 2])
+            y = (Hm[1, 0] * u + Hm[1, 1] * v + Hm[1, 2]) / (
+                Hm[2, 0] * u + Hm[2, 1] * v + Hm[2, 2])
+            gt.append((x, y))
+    gt = np.asarray(gt)
+    # Ordering may start from any board corner / either scan direction:
+    # match as sets first, then check that SOME row-major ordering of the
+    # lattice reproduces gt (flips/transpose allowed, reference-compatible).
+    d = np.linalg.norm(corners[:, None, :] - gt[None, :, :], axis=-1)
+    nearest = d.min(axis=1)
+    assert nearest.max() < 1.5, f"worst corner error {nearest.max():.2f}px"
+    assert len(np.unique(d.argmin(axis=1))) == rows * cols, "not a bijection"
+    grid = corners.reshape(rows, cols, 2)
+    for flip_r in (False, True):
+        for flip_c in (False, True):
+            g = grid[::-1] if flip_r else grid
+            g = g[:, ::-1] if flip_c else g
+            if np.linalg.norm(g.reshape(-1, 2) - gt, axis=-1).max() < 1.5:
+                return
+    raise AssertionError("no flip of the detected grid matches row-major GT")

@@ -423,26 +423,21 @@ def calibrate_pinhole(obj_pts, img_pts, image_size, refine_iters: int = 40):
 # --------------------------------------------------------------------------
 
 def find_chessboard_corners(img, pattern_size):
-    """Detect chessboard corners (subpixel). Wraps OpenCV when available —
-    the reference vendors an OpenCV-based detector (Chessboard.cc)."""
-    try:
-        import cv2
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "chessboard detection requires OpenCV; pass pre-detected corners "
-            "to the calibrate_* functions instead"
-        ) from e
+    """Detect chessboard inner corners (sub-pixel, board-ordered) with the
+    NATIVE saddle-response detector (calib/chessboard.py) — the in-house
+    equivalent of the reference's 2k-LoC grown-quad detector
+    (camera_model/src/chessboard/Chessboard.cc).
+
+    pattern_size follows the OpenCV (cols, rows) convention used by the
+    reference CLI; returns [rows*cols, 2] corners (row-major) or None."""
+    from .chessboard import find_chessboard_corners as _native
+
     img = np.asarray(img)
     if img.ndim == 3:
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
-    ok, corners = cv2.findChessboardCorners(img, tuple(pattern_size))
-    if not ok:
-        return None
-    corners = cv2.cornerSubPix(
-        img, corners, (5, 5), (-1, -1),
-        (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 40, 1e-3),
-    )
-    return corners.reshape(-1, 2)
+        img = img.mean(axis=-1)
+    cols, rows = int(pattern_size[0]), int(pattern_size[1])
+    corners, found = _native(img, (rows, cols))
+    return corners if found else None
 
 
 def synth_chessboard_views(camera, n_views, pattern=(6, 9), square=0.05,

@@ -48,8 +48,9 @@ def test_pallas_lk_compiles_and_tracks_on_tpu():
 
 
 def test_frontend_step_runs_on_tpu():
-    """The full fused tracker step (with the Pallas kernel enabled by
-    default on TPU) runs a frame pair without falling back."""
+    """The full fused tracker step with the Pallas KLT kernel SELECTED runs
+    a frame pair on the chip without falling back. (The batched-XLA LK is
+    the default — it measured faster; this keeps the kernel covered.)"""
     from lfvio_tpu.runtime.tracker import FrontEnd
     from lfvio_tpu.runtime.synthetic import (
         SyntheticWorld, make_synthetic_pal_camera, SYN_MAX_R, SYN_MIN_R,
@@ -61,9 +62,8 @@ def test_frontend_step_runs_on_tpu():
     fe = FrontEnd(
         cam, (H, W), max_cnt=100, min_dist=16, n_slots=128,
         annulus=(W / 2.0, H / 2.0, SYN_MAX_R, SYN_MIN_R),
-        dtype=jnp.float32,
+        dtype=jnp.float32, use_pallas=True,
     )
-    assert fe.use_pallas  # TPU default path
     fe.process_arrays(world.render_u8(0.0), 0.0)
     out = fe.process_arrays(world.render_u8(0.1), 0.1)
     assert fe.use_pallas, "tracker silently fell back to the XLA path"

@@ -43,13 +43,18 @@ from .solver import (
 
 
 def _relo_local_residual(
-    dlocal, p_i, q_i, relo_p, relo_q, tic_i, qic_i, lam,
+    dlocal, p_i, q_i, relo_p, relo_q, tic_i, qic_i, tic0, qic0, lam,
     pts_i, b_loop, tb, sqrt_info,
 ):
-    """Relo residual as a function of the 19-dim local perturbation
-    [δpose_i(6), δrelo(6), δex_i(6), δλ(1)]. The loop frame was captured by
-    the SAME camera as the anchor observation, so its extrinsic is tied to
-    the anchor camera's (reference relo factor reuses para_Ex_Pose[0])."""
+    """Relo residual as a function of the 25-dim local perturbation
+    [δpose_i(6), δrelo(6), δex_anchor(6), δex_cam0(6), δλ(1)]. The loop
+    image is captured by the PRIMARY camera, so the loop-frame side uses
+    camera 0's extrinsic (the reference relo factor passes para_Ex_Pose[0],
+    estimator.cpp:799-806) while the anchor side uses the anchor
+    observation's camera — on a multi-camera rig these differ. Both carry
+    their own perturbation block; for mono rigs the two blocks scatter into
+    the same layout columns and sum, which reproduces the reference's
+    single shared-extrinsic Jacobian."""
     z = jnp.zeros((3,), dlocal.dtype)
     zero = jnp.zeros((), dlocal.dtype)
     p_i2 = p_i + dlocal[0:3]
@@ -58,9 +63,11 @@ def _relo_local_residual(
     rq2 = quat_mul(relo_q, so3_exp(dlocal[9:12]))
     tic2 = tic_i + dlocal[12:15]
     qic2 = quat_mul(qic_i, so3_exp(dlocal[15:18]))
-    lam2 = lam + dlocal[18]
+    tic02 = tic0 + dlocal[18:21]
+    qic02 = quat_mul(qic0, so3_exp(dlocal[21:24]))
+    lam2 = lam + dlocal[24]
     return projection_residual_single(
-        p_i2, q_i2, rp2, rq2, tic2, qic2, tic2, qic2, lam2, zero,
+        p_i2, q_i2, rp2, rq2, tic2, qic2, tic02, qic02, lam2, zero,
         pts_i, b_loop, z, z, zero, zero, tb, sqrt_info,
     )
 
@@ -90,39 +97,48 @@ def linearize_relo_rows(state, grid, relo_p, relo_q, relo_bearing, relo_mask,
     )
     tb = tangent_basis(b_loop)  # [F, 2, 3]
     sqrt_info = jnp.asarray(cfg.proj_sqrt_info, dtype)
-    zero19 = jnp.zeros((19,), dtype)
+    zero25 = jnp.zeros((25,), dtype)
+    tic0, qic0 = tics[0], qics[0]  # loop image: primary camera
 
     def one(p_i, q_i, pts_i, tic_i, qic_i, b_r, tb_f, lam):
         fn = lambda d: _relo_local_residual(
-            d, p_i, q_i, relo_p, relo_q, tic_i, qic_i, lam,
+            d, p_i, q_i, relo_p, relo_q, tic_i, qic_i, tic0, qic0, lam,
             pts_i, b_r, tb_f, sqrt_info,
         )
-        return fn(zero19), jax.jacfwd(fn)(zero19)
+        return fn(zero25), jax.jacfwd(fn)(zero25)
 
-    res, J19 = jax.vmap(one)(
+    res, J25 = jax.vmap(one)(
         p_i, q_i, pts_i, tic_i, qic_i, b_loop, tb, state.inv_depth
-    )  # [F, 2], [F, 2, 19]
+    )  # [F, 2], [F, 2, 25]
 
     valid = relo_mask & grid.used
     res = jnp.where(valid[:, None], res, 0.0)
-    J19 = jnp.where(valid[:, None, None], J19, 0.0)
+    J25 = jnp.where(valid[:, None, None], J25, 0.0)
     sq = jnp.sum(res * res, axis=-1)
     c2 = cfg.cauchy_c**2
     cost = 0.5 * jnp.sum(jnp.where(valid, c2 * jnp.log1p(sq / c2), 0.0))
     w = cauchy_corrector(res, valid, cfg.cauchy_c)
     res_w = res * w
-    J19 = J19 * w[..., None]
+    J25 = J25 * w[..., None]
 
-    J_pi = J19[..., 0:6]
-    J_relo = J19[..., 6:12]
-    J_exi = J19[..., 12:18]
-    J_lam = J19[..., 18]
+    J_pi = J25[..., 0:6]
+    J_relo = J25[..., 6:12]
+    J_exi = J25[..., 12:18]
+    J_ex0 = J25[..., 18:24]
+    J_lam = J25[..., 24]
     if not cfg.estimate_extrinsic:
         J_exi = jnp.zeros_like(J_exi)
+        J_ex0 = jnp.zeros_like(J_ex0)
 
-    # Scatter into the augmented layout.
+    # Scatter into the augmented layout: the anchor-side block lands in the
+    # anchor observation's camera columns, the loop-side block in camera
+    # 0's; identical columns (mono, or anchor on cam 0) simply sum.
+    oh_cam0 = jnp.zeros_like(oh_cam_i).at[:, 0].set(1.0)
     Jpose = jnp.einsum("fac,fk->fakc", J_pi, onehot).reshape(F, 2, 6 * W1)
-    Jex = jnp.einsum("fac,fC->faCc", J_exi, oh_cam_i).reshape(F, 2, 6 * C)
+    Jex = (
+        jnp.einsum("fac,fC->faCc", J_exi, oh_cam_i)
+        + jnp.einsum("fac,fC->faCc", J_ex0, oh_cam0)
+    ).reshape(F, 2, 6 * C)
     zeros_sb = jnp.zeros((F, 2, 9 * W1), dtype)
     zeros_td = jnp.zeros((F, 2, 1), dtype)
     Jfull = jnp.concatenate(

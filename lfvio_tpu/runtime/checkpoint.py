@@ -37,7 +37,7 @@ def _save_checkpoint(path: str, est):
         first_imu=np.bool_(est.first_imu),
         fm_bearing=fm.bearing, fm_velocity=fm.velocity, fm_td=fm.td_obs,
         fm_valid=fm.valid, fm_anchor=fm.anchor, fm_id=fm.feature_id,
-        fm_depth=fm.depth,
+        fm_depth=fm.depth, fm_cam=fm.cam,
         gravity=np.asarray(est.gravity if est.gravity is not None else np.zeros(3)),
         has_gravity=np.bool_(est.gravity is not None),
     )
@@ -88,6 +88,9 @@ def load_checkpoint(path: str, est):
     fm.td_obs[:] = z["fm_td"]; fm.valid[:] = z["fm_valid"]
     fm.anchor[:] = z["fm_anchor"]; fm.feature_id[:] = z["fm_id"]
     fm.depth[:] = z["fm_depth"]
+    # Per-observation camera ids (multi-camera rigs). Absent in pre-r5
+    # checkpoints -> all observations default to camera 0.
+    fm.cam[:] = z["fm_cam"] if "fm_cam" in z.files else 0
     fm._id2slot = {
         int(fid): int(s) for s, fid in enumerate(fm.feature_id) if fid >= 0
     }

@@ -90,6 +90,12 @@ class Estimator:
 
     def __init__(self, cfg: EstimatorConfig):
         self.cfg = cfg
+        # Optional device→host fetch submitter (tree -> future), installed
+        # by VioPipeline's _FetchPool: solve-result fetches then ride
+        # worker-thread RPCs started at dispatch instead of a blocking
+        # device_get at finalize (the round-trip-per-frame wall on a
+        # network-attached TPU).
+        self.fetch_submit = None
         self.scfg = SolverConfig(
             max_iterations=cfg.max_iterations,
             estimate_td=cfg.estimate_td,
@@ -109,11 +115,23 @@ class Estimator:
         # code is instantiated twice in one program (~459 s vs ~15 s total
         # when split, measured on the v5e); the split costs one extra async
         # dispatch and nothing else — the prior never leaves the device.
+        #
+        # ALL host inputs ride ONE packed f32 buffer per frame: measured on
+        # the tunneled v5e, per-upload overhead dominates per-byte cost
+        # (20 small jnp.asarray calls ≈ 2-70 ms link occupancy depending on
+        # contention, vs 0.2 ms for the same 110 KB as one packed array),
+        # and the upload contention was what kept the async result copies
+        # from landing before their lagged harvest — the round-4 "one round
+        # trip per frame" wall. Packing is the round-5 fix: one upload, one
+        # unpack inside the jitted program (free — XLA fuses the slices).
         self._solve_step = jax.jit(self._solve_step_impl)
-        self._solve_step_relo = jax.jit(self._solve_step_relo_impl)
+        self._solve_packed = jax.jit(self._solve_packed_impl)
+        self._solve_relo_packed = jax.jit(self._solve_relo_packed_impl)
         self._marg_old = jax.jit(self._marg_old_impl)
         self._marg_new = jax.jit(self._marg_new_impl)
         self._triangulate = jax.jit(triangulate_grid)
+        self._pack_layout, self._pack_size = self._build_pack_layout()
+        self._empty_prior_cache = None
 
     # ------------------------------------------------------------------ state
     def clear_state(self):
@@ -383,9 +401,154 @@ class Estimator:
         )
 
     def _empty_prior(self, dtype=None):
-        return PriorFactor.empty(
-            dtype=dtype or self.cfg.solver_dtype, n_cams=self.cfg.n_cams
+        if dtype is None or dtype == self.cfg.solver_dtype:
+            if self._empty_prior_cache is None:
+                self._empty_prior_cache = PriorFactor.empty(
+                    dtype=self.cfg.solver_dtype, n_cams=self.cfg.n_cams
+                )
+            return self._empty_prior_cache
+        return PriorFactor.empty(dtype=dtype, n_cams=self.cfg.n_cams)
+
+    # ------------------------------------------------------------ packed args
+    def _build_pack_layout(self):
+        """Static layout of the ONE per-frame host→device buffer: every
+        solve input (window state, feature grid, padded IMU window, gauge
+        origin, dynamic iteration cap, relo extras) flattened into a single
+        solver-dtype vector. One upload per dispatch instead of ~22 — on a
+        high-latency link the per-transfer overhead (not the bytes) was the
+        round-4 throughput wall; on local PCIe it still saves ~20 transfer
+        setups/frame. Bools ride as 0/1, int indices as exact small floats."""
+        cfg = self.cfg
+        F, W1, W, M, C = (
+            cfg.n_feature_slots, NFRAMES, WINDOW,
+            cfg.max_imu_per_interval, cfg.n_cams,
         )
+        entries = [
+            ("p", (W1, 3)), ("q", (W1, 4)), ("v", (W1, 3)),
+            ("ba", (W1, 3)), ("bg", (W1, 3)),
+            ("tic", (C, 3) if C > 1 else (3,)),
+            ("qic", (C, 4) if C > 1 else (4,)),
+            ("td", ()), ("inv_depth", (F,)),
+            ("g_bearing", (F, W1, 3)), ("g_velocity", (F, W1, 3)),
+            ("g_td_obs", (F, W1)), ("g_valid", (F, W1)),
+            ("g_anchor", (F,)), ("g_used", (F,)),
+            ("g_cam", (F, W1) if C > 1 else (0,)),
+            ("dts", (W, M)), ("accs", (W, M, 3)), ("gyrs", (W, M, 3)),
+            ("a0", (W, 3)), ("g0", (W, 3)), ("imu_valid", (W,)),
+            ("has_depth", (F,)), ("origin_p0", (3,)), ("origin_q0", (4,)),
+            ("max_iter", ()),
+            ("relo_p", (3,)), ("relo_q", (4,)),
+            ("relo_bearing", (F, 3)), ("relo_mask", (F,)),
+        ]
+        layout, off = {}, 0
+        for name, shape in entries:
+            n = int(np.prod(shape)) if shape else 1
+            layout[name] = (off, shape)
+            off += n
+        return layout, off
+
+    def _pack_solve_buffer(self, origin_p0, origin_q0, relo=None):
+        """Fill a FRESH packed buffer from the host mirrors (fresh each
+        dispatch: the upload is async and may borrow the numpy memory —
+        same aliasing rule as _padded_window_arrays)."""
+        cfg = self.cfg
+        np_dt = np.dtype(jnp.dtype(cfg.solver_dtype).name)
+        buf = np.zeros(self._pack_size, np_dt)
+        L = self._pack_layout
+
+        def put(name, val):
+            off, shape = L[name]
+            n = int(np.prod(shape)) if shape else 1
+            buf[off : off + n] = np.asarray(val, np_dt).ravel()
+
+        fm = self.fm
+        put("p", self.Ps)
+        put("q", self.Qs)
+        put("v", self.Vs)
+        put("ba", self.Bas)
+        put("bg", self.Bgs)
+        put("tic", self.tic)
+        put("qic", self.qic)
+        put("td", self.td)
+        put("inv_depth", np.where(
+            fm.depth > 0, 1.0 / np.maximum(fm.depth, 1e-6), 1.0
+        ))
+        put("g_bearing", fm.bearing)
+        put("g_velocity", fm.velocity)
+        put("g_td_obs", fm.td_obs)
+        put("g_valid", fm.valid)
+        put("g_anchor", fm.anchor)
+        put("g_used", fm.used_mask())
+        if cfg.n_cams > 1:
+            put("g_cam", fm.cam)
+        put("dts", self._imu_dts[1:])
+        put("accs", self._imu_accs[1:])
+        put("gyrs", self._imu_gyrs[1:])
+        put("a0", self._imu_a0[1:])
+        put("g0", self._imu_g0[1:])
+        put("imu_valid", (self._imu_n[1:] > 0) & (self._imu_sumdt[1:] < 10.0))
+        put("has_depth", fm.depth > 0)
+        put("origin_p0", origin_p0)
+        put("origin_q0", origin_q0)
+        put("max_iter", self._iterations_allowed())
+        if relo is not None:
+            put("relo_p", relo["p"])
+            put("relo_q", relo["q"])
+            put("relo_bearing", relo["bearing"])
+            put("relo_mask", relo["mask"])
+        return buf
+
+    def _unpack(self, packed):
+        """Traced unpack of the packed buffer (static slices — XLA fuses
+        these into the consumers for free)."""
+        cfg = self.cfg
+        L = self._pack_layout
+
+        def get(name):
+            off, shape = L[name]
+            n = int(np.prod(shape)) if shape else 1
+            v = packed[off : off + n]
+            return v.reshape(shape) if shape else v[0]
+
+        state = WindowState(
+            p=get("p"), q=get("q"), v=get("v"), ba=get("ba"), bg=get("bg"),
+            tic=get("tic"), qic=get("qic"), td=get("td"),
+            inv_depth=get("inv_depth"),
+        )
+        grid = FeatureGrid(
+            bearing=get("g_bearing"), velocity=get("g_velocity"),
+            td_obs=get("g_td_obs"), valid=get("g_valid") > 0.5,
+            anchor=get("g_anchor").astype(jnp.int32),
+            used=get("g_used") > 0.5,
+            cam=get("g_cam").astype(jnp.int32) if cfg.n_cams > 1 else None,
+        )
+        imu = (get("dts"), get("accs"), get("gyrs"), get("a0"), get("g0"),
+               get("imu_valid") > 0.5)
+        misc = (get("has_depth") > 0.5, get("origin_p0"), get("origin_q0"),
+                get("max_iter").astype(jnp.int32))
+        relo = (get("relo_p"), get("relo_q"), get("relo_bearing"),
+                get("relo_mask") > 0.5)
+        return state, grid, imu, misc, relo
+
+    def _solve_packed_impl(self, packed, prior):
+        state, grid, imu, misc, _ = self._unpack(packed)
+        has_depth, op0, oq0, mi = misc
+        out = self._solve_step_impl(
+            state, grid, *imu, prior, has_depth, op0, oq0, mi
+        )
+        # Re-emit the device grid for the marginalization program (device→
+        # device; no host traffic).
+        return out, grid
+
+    def _solve_relo_packed_impl(self, packed, prior):
+        state, grid, imu, misc, relo = self._unpack(packed)
+        has_depth, op0, oq0, mi = misc
+        relo_p0, relo_q0, relo_bearing, relo_mask = relo
+        out = self._solve_step_relo_impl(
+            state, grid, *imu, prior, has_depth, op0, oq0, mi,
+            relo_p0, relo_q0, relo_bearing, relo_mask,
+        )
+        return out, grid
 
     # ------------------------------------------------------------------ frame
     def process_image_arrays(
@@ -629,6 +792,10 @@ class Estimator:
             stamp=float(frame_stamp),
             prev_p=np.asarray(prev_relo_p, np.float64).copy(),
             prev_q=np.asarray(prev_relo_q, np.float64).copy(),
+            # Feature-identity snapshot: _dispatch_solve re-checks that each
+            # masked slot still holds the SAME feature before building the
+            # relo rows (slots can be freed + refilled in between).
+            snap_ids=self.fm.feature_id.copy(),
         )
         return True
 
@@ -646,36 +813,46 @@ class Estimator:
         return int(np.clip(budget / self._iter_time, 1, cfg.max_iterations))
 
     def calibrate_solver_budget(self, n=4):
-        """Measure the solve program's per-iteration device time (chained
-        dispatches, one synchronization) so max_solver_time can bind. Call
-        once after warmup; costs ~n solve executions."""
+        """Measure the solve program's per-LM-iteration device time so
+        max_solver_time can bind. Runs the PACKED solve program (already
+        compiled by the hot path) at max_iter 1 vs max_iterations and takes
+        the difference — dispatch/fixed overhead cancels. Each run perturbs
+        the window positions so the iterations do real work (a converged
+        window's iterations are cost-tol no-ops and would underestimate the
+        per-iteration time severalfold). Read-only: safe to call with
+        solves in flight; costs ~2(n+1) solve executions."""
         import time as _time
 
-        if self._pending is not None or self.frame_count < WINDOW:
+        if self.frame_count < WINDOW or self.solver_flag != self.NON_LINEAR:
             return None
-        sd = self.cfg.solver_dtype
-        dts, accs, gyrs, a0l, g0l, imu_valid = self._padded_window_arrays()
-        state = self._device_state()
-        grid = self._device_grid()
+        packed = self._pack_solve_buffer(self.Ps[0], self.Qs[0])
         prior = self.prior if self.prior is not None else self._empty_prior()
-        has_depth = jnp.asarray(self.fm.depth > 0)
-        args = (
-            grid, jnp.asarray(dts, sd), jnp.asarray(accs, sd),
-            jnp.asarray(gyrs, sd), jnp.asarray(a0l, sd), jnp.asarray(g0l, sd),
-            jnp.asarray(imu_valid), prior, has_depth,
-            jnp.asarray(self.Ps[0], sd), jnp.asarray(self.Qs[0], sd),
-            jnp.asarray(self.cfg.max_iterations, jnp.int32),
-        )
-        out = self._solve_step(state, *args)  # ensure compiled
-        jax.block_until_ready(out[0].p)
+        L = self._pack_layout
+        off_mi = L["max_iter"][0]
+        off_p, shape_p = L["p"]
+        n_p = int(np.prod(shape_p))
+
+        def run(max_iter, seed):
+            b = packed.copy()
+            b[off_mi] = max_iter
+            rng = np.random.default_rng(seed)
+            b[off_p : off_p + n_p] += rng.normal(0.0, 0.05, n_p)
+            return self._solve_packed(jnp.asarray(b), prior)
+
+        for mi in (1, self.cfg.max_iterations):  # ensure compiled + warm
+            out = run(mi, 0)
+        jax.block_until_ready(out[0][0].p)
         t0 = _time.perf_counter()
-        s = state
-        for _ in range(n):
-            o = self._solve_step(s, *args)
-            s = o[0]
-        jax.block_until_ready(s.p)
-        per_solve = (_time.perf_counter() - t0) / n
-        self._iter_time = per_solve / max(self.cfg.max_iterations, 1)
+        for i in range(n):
+            o1 = run(1, 1 + i)
+        jax.block_until_ready(o1[0][0].p)
+        t1 = _time.perf_counter()
+        for i in range(n):
+            o2 = run(self.cfg.max_iterations, 1 + i)
+        jax.block_until_ready(o2[0][0].p)
+        t2 = _time.perf_counter()
+        iters = max(self.cfg.max_iterations - 1, 1)
+        self._iter_time = max(((t2 - t1) - (t1 - t0)) / (n * iters), 1e-7)
         return self._iter_time
 
     def _dispatch_solve(self, t: float, first: bool = False):
@@ -686,42 +863,34 @@ class Estimator:
             return
         while len(self._pending_q) >= max(self.cfg.solve_lag, 1):
             self.finalize_solve()  # safety net for direct (non-pipeline) use
-        sd = self.cfg.solver_dtype
-        dts, accs, gyrs, a0l, g0l, imu_valid = self._padded_window_arrays()
-        state = self._device_state()
-        grid = self._device_grid()
         prior = self.prior if self.prior is not None else self._empty_prior()
-        has_depth = jnp.asarray(self.fm.depth > 0)
 
         # Gauge-fix origin: pre-solve frame 0 (or the last good pose after a
         # detected failure, estimator.cpp:536-547).
-        # .copy(): these are views of live mirrors that the eager slide
-        # (solve_lag > 1) mutates right after the async dispatch — the same
-        # zero-copy aliasing race fixed in _device_state.
         if self.failure_occur:
-            origin_p0 = self.last_P0.copy()
+            origin_p0 = self.last_P0
             origin_q0 = hg.mat_to_quat(self.last_R0)
             self.failure_occur = False
         else:
-            origin_p0, origin_q0 = self.Ps[0].copy(), self.Qs[0].copy()
+            origin_p0, origin_q0 = self.Ps[0], self.Qs[0]
 
-        common = (
-            state, grid,
-            jnp.asarray(dts, sd), jnp.asarray(accs, sd), jnp.asarray(gyrs, sd),
-            jnp.asarray(a0l, sd), jnp.asarray(g0l, sd), jnp.asarray(imu_valid),
-            prior, has_depth,
-            jnp.asarray(origin_p0, sd), jnp.asarray(origin_q0, sd),
-            jnp.asarray(self._iterations_allowed(), jnp.int32),
-        )
         relo = self._relo_active if not first else None
         if relo is not None:
-            out, pre, sqrt_info, imu_ok, relo_p, relo_q, c0, c1 = (
-                self._solve_step_relo(
-                    *common,
-                    jnp.asarray(relo["p"], sd), jnp.asarray(relo["q"], sd),
-                    jnp.asarray(relo["bearing"], sd),
-                    jnp.asarray(relo["mask"]),
-                )
+            # Slot-identity re-check at dispatch: between set_relo_frame and
+            # this solve, finalize_solve/remove_failures can free a matched
+            # slot and add_frame_arrays can refill it with a NEW feature —
+            # the relo row would then bind to the wrong landmark. Only slots
+            # still holding the snapshotted feature id participate.
+            relo = dict(
+                relo,
+                mask=relo["mask"] & (self.fm.feature_id == relo["snap_ids"]),
+            )
+        packed = jnp.asarray(
+            self._pack_solve_buffer(origin_p0, origin_q0, relo=relo)
+        )
+        if relo is not None:
+            (out, pre, sqrt_info, imu_ok, relo_p, relo_q, c0, c1), grid = (
+                self._solve_relo_packed(packed, prior)
             )
             rn = rvalid = None
             relo_refs = (relo_p, relo_q)
@@ -731,8 +900,8 @@ class Estimator:
             )
             self._relo_active = None  # one-shot, like the reference
         else:
-            out, pre, sqrt_info, imu_ok, rn, rvalid, c0, c1 = (
-                self._solve_step(*common)
+            (out, pre, sqrt_info, imu_ok, rn, rvalid, c0, c1), grid = (
+                self._solve_packed(packed, prior)
             )
             relo_refs = None
             relo_meta = None
@@ -760,12 +929,15 @@ class Estimator:
             snap_used=np.asarray(self.fm.used_mask()).copy(),
         )
         self._pending_q.append(pend)
-        # Start the device→host copies NOW: by the time finalize_solve needs
-        # these values, the transfer has already flown the tunnel and the
+        # Start the device→host transfer NOW: by the time finalize_solve
+        # needs these values the fetch has already flown the tunnel and the
         # harvest costs ~0 instead of a full round trip.
-        for leaf in jax.tree_util.tree_leaves(pend["device"]):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
+        if self.fetch_submit is not None:
+            pend["future"] = self.fetch_submit(pend["device"])
+        else:
+            for leaf in jax.tree_util.tree_leaves(pend["device"]):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
         if pend["eager_slid"]:
             # Deep-pipeline mode: slide NOW with the propagated (pre-solve)
             # mirrors so the next frame's bookkeeping proceeds without the
@@ -803,7 +975,10 @@ class Estimator:
             return
         pend = self._pending_q.pop(0)
         if host is None:
-            host = jax.device_get(pend["device"])
+            fut = pend.get("future")
+            host = fut.result() if fut is not None else jax.device_get(
+                pend["device"]
+            )
         state_host, rn, rvalid, relo_host = host
         if pend["eager_slid"]:
             self._write_back_lagged(pend, state_host)

@@ -38,18 +38,24 @@ class PanoramaRemapper:
             axis=-1,
         )
         pix = np.asarray(camera.space_to_plane(jnp.asarray(d.reshape(-1, 3))))
-        self.map_x = jnp.asarray(
-            pix[:, 0].reshape(pano_height, pano_width), dtype
+        # HOST (numpy) constants: _remap_impl closes over the maps, and a
+        # closed-over DEVICE array permanently degrades later dispatches on
+        # the axon tunnel backend (see runtime/tracker.py FrontEnd.__init__).
+        npdt = np.dtype(jnp.dtype(dtype).name)
+        self.map_x = np.asarray(
+            pix[:, 0].reshape(pano_height, pano_width), npdt
         )
-        self.map_y = jnp.asarray(
-            pix[:, 1].reshape(pano_height, pano_width), dtype
+        self.map_y = np.asarray(
+            pix[:, 1].reshape(pano_height, pano_width), npdt
         )
         self._remap = jax.jit(self._remap_impl)
 
     def _remap_impl(self, img):
         H, W = img.shape
-        x = jnp.clip(self.map_x, 0.0, W - 1.001)
-        y = jnp.clip(self.map_y, 0.0, H - 1.001)
+        map_x = jnp.asarray(self.map_x)  # numpy -> trace constant
+        map_y = jnp.asarray(self.map_y)
+        x = jnp.clip(map_x, 0.0, W - 1.001)
+        y = jnp.clip(map_y, 0.0, H - 1.001)
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
         fx = x - x0
@@ -66,8 +72,8 @@ class PanoramaRemapper:
         )
         # Mark pano pixels whose source fell outside the image.
         inside = (
-            (self.map_x >= 0) & (self.map_x < W - 1)
-            & (self.map_y >= 0) & (self.map_y < H - 1)
+            (map_x >= 0) & (map_x < W - 1)
+            & (map_y >= 0) & (map_y < H - 1)
         )
         return jnp.where(inside, out, 0.0)
 

@@ -17,14 +17,42 @@ from .tracker import FrontEnd
 from .estimator import Estimator, EstimatorConfig
 
 
+class _FetchPool:
+    """Worker-thread device→host fetch pool.
+
+    Measured on the tunneled v5e: `copy_to_host_async` + a later blocking
+    access STILL pays a full ~30–60 ms round trip inside the busy pipeline
+    (the plugin's background delivery stalls while the main thread keeps
+    issuing work), but CONCURRENT `jax.device_get` calls from separate
+    threads multiplex onto the link — 8 simultaneous fetches complete in
+    ~one round trip total. So every device→host fetch is submitted here AT
+    DISPATCH TIME and the main thread only ever waits on a future whose
+    RPC has been in flight for several frames; steady state the wait is
+    ~0 and fetch throughput scales with the worker count instead of being
+    one-round-trip-per-frame. PJRT device_get is thread-safe + read-only.
+    """
+
+    def __init__(self, n_workers: int = 6):
+        import atexit
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ex = ThreadPoolExecutor(
+            max_workers=n_workers, thread_name_prefix="lfvio-fetch"
+        )
+        atexit.register(self._ex.shutdown, wait=False, cancel_futures=True)
+
+    def submit(self, tree):
+        import jax
+
+        return self._ex.submit(jax.device_get, tree)
+
+
 class _Harvester:
-    """Background device→host harvester. On this tunnel the FIRST blocking
-    access after a batch of async copies pays a full round trip (the plugin
-    flushes lazily); a daemon thread touches every in-flight output as soon
-    as it is dispatched, so the round trip overlaps the main thread's work
-    and the values are already cached on the arrays when the pipeline
-    harvests them (~0 ms). Pure optimization: the main thread's device_get
-    remains the correctness path if the thread falls behind."""
+    """Background device→host harvester (legacy, LFVIO_HARVEST_WORKERS):
+    prefetch-only variant of _FetchPool — touches in-flight outputs so their
+    values are cached when the main thread's device_get runs. Superseded by
+    _FetchPool (which moves the device_get itself off the critical path);
+    kept selectable for A/B."""
 
     def __init__(self, n_workers: int = 3):
         import atexit
@@ -116,6 +144,16 @@ class VioPipeline:
         self._tmp = None  # (P, Q, V, Ba, Bg, acc0, gyr0, t0)
         self.high_rate = []  # list of (t, p[3], q[4], v[3])
         self._harvester = None  # lazy: only for async (dispatch-capable) FEs
+        # Fetch pool: all device→host fetches ride worker threads whose
+        # RPCs overlap the main thread and each other (see _FetchPool).
+        # LFVIO_FETCH_WORKERS=0 restores the round-4 combined-device_get
+        # path (A/B knob).
+        import os
+
+        n_fetch = int(os.environ.get("LFVIO_FETCH_WORKERS", "6"))
+        self._fetch_pool = _FetchPool(n_fetch) if n_fetch > 0 else None
+        if self._fetch_pool is not None:
+            self.est.fetch_submit = self._fetch_pool.submit
 
     @classmethod
     def from_yaml(cls, path, n_slots: int = 256, dtype=None, **kw):
@@ -132,6 +170,24 @@ class VioPipeline:
 
     def _solve_lag(self) -> int:
         return max(getattr(self.est.cfg, "solve_lag", 1), 1)
+
+    def _maybe_calibrate_budget(self):
+        """One-shot solver wall-budget calibration after pipeline warmup:
+        the reference enforces max_solver_time on every solve
+        (estimator.cpp:810-825); here the budget binds as a dynamic
+        iteration cap that needs a measured per-iteration device time.
+        Runs once, after a few production solves have landed (programs
+        compiled, window informative)."""
+        est = self.est
+        if (
+            est.cfg.max_solver_time <= 0
+            or est._iter_time is not None
+            or est.solver_flag != est.NON_LINEAR
+        ):
+            return
+        self._n_finalized = getattr(self, "_n_finalized", 0) + 1
+        if self._n_finalized >= 3:
+            est.calibrate_solver_budget()
 
     @property
     def _td_now(self) -> float:
@@ -296,11 +352,10 @@ class VioPipeline:
             import jax
 
             if self.est.pending_count() >= self._solve_lag():
-                pend = self.est.pending_solve_refs()
-                est_host = jax.device_get(pend)
-                self.est.finalize_solve(est_host)
+                self.est.finalize_solve()  # resolves its own fetch/future
                 if self._sync_q:
                     self._update_tmp_state(self._sync_q.pop(0))
+                self._maybe_calibrate_budget()
             self._drain_est_imu()
             out = self.fe.process_arrays(img, t, publish=publish)
             self._publish_frame(out, t, td_pair, publish)
@@ -309,9 +364,13 @@ class VioPipeline:
         import jax
 
         handle = self.fe.dispatch(img, t, publish=publish)
-        for leaf in jax.tree_util.tree_leaves(handle[2]):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
+        if self._fetch_pool is not None:
+            fe_fut = self._fetch_pool.submit(handle[2])
+        else:
+            fe_fut = None
+            for leaf in jax.tree_util.tree_leaves(handle[2]):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
         if self._harvester is None:
             import os
 
@@ -327,7 +386,7 @@ class VioPipeline:
         # This frame's estimator IMU batch: everything queued since the
         # previous frame event (its boundary-interpolated sample included).
         imu_batch, self._est_imu_queue = self._est_imu_queue, []
-        self._fe_inflight.append((handle, t, td_pair, publish, imu_batch))
+        self._fe_inflight.append((handle, t, td_pair, publish, imu_batch, fe_fut))
         if len(self._fe_inflight) >= self.depth:
             self._advance_one()
 
@@ -343,29 +402,37 @@ class VioPipeline:
         """
         import jax
 
-        handle, t, td_pair, publish, imu_batch = self._fe_inflight.pop(0)
+        handle, t, td_pair, publish, imu_batch, fe_fut = self._fe_inflight.pop(0)
         # Fetch the oldest solve only when its result is DUE (the queue is
-        # at the estimator's solve_lag): at lag 2 the copy has been in
+        # at the estimator's solve_lag): at lag 2 the fetch RPC has been in
         # flight for two frames and the harvest is ~free.
         due = self.est.pending_count() >= self._solve_lag()
         if not publish and not due:
-            self._fe_deferred.append((handle, t, imu_batch))
+            self._fe_deferred.append((handle, t, imu_batch, fe_fut))
             return
         pend = self.est.pending_solve_refs() if due else None
         deferred, self._fe_deferred = self._fe_deferred, []
-        # ONE combined fetch: the tunnel serves a tree device_get in a
-        # single round trip; all subtrees were async-copied at dispatch.
-        def_hosts, fe_host, est_host = jax.device_get(
-            ([d[0][2] for d in deferred], handle[2], pend)
-        )
+        if self._fetch_pool is not None:
+            # Every fetch was submitted to the pool at dispatch time; the
+            # results are (typically) already sitting in their futures.
+            def_hosts = [d[3].result() for d in deferred]
+            fe_host = fe_fut.result()
+            est_host = None  # finalize_solve resolves its own future
+        else:
+            # Round-4 path: ONE combined fetch (a tree device_get costs a
+            # single round trip; all subtrees were async-copied at dispatch).
+            def_hosts, fe_host, est_host = jax.device_get(
+                ([d[0][2] for d in deferred], handle[2], pend)
+            )
         if pend is not None:
             self.est.finalize_solve(est_host)
             if self._sync_q:
                 # Re-seed the high-rate propagation from the just-finalized
                 # solve — the reference's update() at solve completion.
                 self._update_tmp_state(self._sync_q.pop(0))
+            self._maybe_calibrate_budget()
         # Replay deferred (unpublished) frames in stream order first.
-        for (h, _th, batch), hh in zip(deferred, def_hosts):
+        for (h, _th, batch, _f), hh in zip(deferred, def_hosts):
             for dt, acc, gyr in batch:
                 self.est.process_imu(dt, acc, gyr)
             self.fe.finalize(h, hh)  # publish=False → bookkeeping only
@@ -403,8 +470,11 @@ class VioPipeline:
             self._advance_one()
         if self._fe_deferred:
             deferred, self._fe_deferred = self._fe_deferred, []
-            hosts = jax.device_get([d[0][2] for d in deferred])
-            for (h, _th, batch), hh in zip(deferred, hosts):
+            if self._fetch_pool is not None:
+                hosts = [d[3].result() for d in deferred]
+            else:
+                hosts = jax.device_get([d[0][2] for d in deferred])
+            for (h, _th, batch, _f), hh in zip(deferred, hosts):
                 for dt, acc, gyr in batch:
                     self.est.process_imu(dt, acc, gyr)
                 self.fe.finalize(h, hh)

@@ -146,12 +146,18 @@ class SyntheticWorld:
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         n_waves = 24
-        ft = _ftype()
-        self._freqs = jnp.asarray(rng.uniform(0.8, 6.0, (n_waves, 3)), ft)
-        self._phases = jnp.asarray(rng.uniform(0, 2 * np.pi, n_waves), ft)
-        self._amps = jnp.asarray(
+        npft = np.dtype(jnp.dtype(_ftype()).name)
+        # HOST (numpy) constants only: the render program closes over these
+        # and the camera — a closed-over DEVICE array permanently degrades
+        # every later dispatch on the axon tunnel backend (see
+        # runtime/tracker.py FrontEnd.__init__); numpy trace constants are
+        # safe.
+        self.camera = jax.tree_util.tree_map(np.asarray, self.camera)
+        self._freqs = np.asarray(rng.uniform(0.8, 6.0, (n_waves, 3)), npft)
+        self._phases = np.asarray(rng.uniform(0, 2 * np.pi, n_waves), npft)
+        self._amps = np.asarray(
             rng.uniform(0.5, 1.0, n_waves) / np.arange(1, n_waves + 1) ** 0.25,
-            ft,
+            npft,
         )
         self._render = jax.jit(self._render_impl)
         self._render_u8 = jax.jit(

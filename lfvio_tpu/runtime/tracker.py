@@ -57,7 +57,16 @@ class FrontEnd:
         # on the v5e — the kernel loops features sequentially and starves
         # the MXU. Kept selectable for A/B and as kernel-infra reference.
     ):
-        self.camera = camera
+        # ALL persistent array state that the jitted programs close over
+        # must be HOST (numpy): on the axon (network-tunnel) TPU backend, a
+        # single execution of any program that closes over a DEVICE array
+        # permanently degrades every subsequent dispatch in the process
+        # (measured: trivial dispatch 0.03→1.4 ms/call; image-argument
+        # programs →~55 ms/call — the real source of round 4's "one round
+        # trip per frame" wall). numpy constants are baked into the
+        # executable at trace time and are safe; live device state (slot
+        # chain, pyramids, keys) is passed as explicit jit arguments.
+        self.camera = jax.tree_util.tree_map(np.asarray, camera)
         self.H, self.W = image_size
         self.max_cnt = max_cnt
         self.min_dist = min_dist
@@ -69,12 +78,12 @@ class FrontEnd:
         self.refine_win = int(refine_win)
         self.use_pallas = bool(use_pallas)
         if annulus is not None:
-            self.static_mask = annulus_mask(
+            self.static_mask = np.asarray(annulus_mask(
                 image_size, *[float(a) for a in annulus], dtype=dtype
-            )
+            ))
         else:
-            self.static_mask = jnp.ones(image_size, bool)
-        self.static_mask_np = np.asarray(self.static_mask)
+            self.static_mask = np.ones(image_size, bool)
+        self.static_mask_np = self.static_mask
 
         # Host slot state (id bookkeeping; may lag the device chain by one
         # frame — see dispatch()).
@@ -166,9 +175,10 @@ class FrontEnd:
 
     def _first_impl(self, pyr):
         """First frame: detect + place into slots (all on device)."""
+        static_mask = jnp.asarray(self.static_mask)  # numpy -> trace constant
         resp = shi_tomasi_response(pyr[0])
         new_pts, new_ok = select_features(
-            resp, self.static_mask,
+            resp, static_mask,
             jnp.zeros((1, 2), self.dtype), jnp.zeros((1,), bool),
             self.max_cnt, self.min_dist,
         )
@@ -196,6 +206,7 @@ class FrontEnd:
                 refine_win=self.refine_win,
             )
         # Border containment (inBorder, BORDER_SIZE=1) + annulus mask.
+        static_mask = jnp.asarray(self.static_mask)  # numpy -> trace constant
         b = float(self.border)
         inb = (
             (pts_next[:, 0] >= b) & (pts_next[:, 0] < self.W - b)
@@ -203,7 +214,7 @@ class FrontEnd:
         )
         ix = jnp.clip(pts_next[:, 0].astype(jnp.int32), 0, self.W - 1)
         iy = jnp.clip(pts_next[:, 1].astype(jnp.int32), 0, self.H - 1)
-        status = ok & inb & self.static_mask[iy, ix]
+        status = ok & inb & static_mask[iy, ix]
 
         if publish:
             # Spherical RANSAC on prev vs cur bearings (rejectWithF).
@@ -216,7 +227,7 @@ class FrontEnd:
             # Refill detection on the masked response (uses post-reject pts).
             resp = shi_tomasi_response(pyr[0])
             new_pts, new_ok = select_features(
-                resp, self.static_mask, pts_next, status,
+                resp, static_mask, pts_next, status,
                 self.max_cnt, self.min_dist,
             )
             pos_next, valid_next, new_src = self._assign_slots(

@@ -68,7 +68,13 @@ def main():
     )
     world = SyntheticWorld(camera=cam, width=W, height=H)
 
-    frame_rate, imu_rate = 15.0, 200.0
+    # Stress-config knobs (BASELINE config #4: LFVIO_BENCH_FRAME_RATE=30
+    # LFVIO_BENCH_MAX_CNT=300 LFVIO_BENCH_WINDOW=20 LFVIO_BENCH_SLOTS=384).
+    frame_rate = float(os.environ.get("LFVIO_BENCH_FRAME_RATE", "15.0"))
+    imu_rate = 200.0
+    max_cnt = int(os.environ.get("LFVIO_BENCH_MAX_CNT", "200"))
+    window = int(os.environ.get("LFVIO_BENCH_WINDOW", "10"))
+    n_slots = int(os.environ.get("LFVIO_BENCH_SLOTS", "256"))
     duration = float(os.environ.get("LFVIO_BENCH_DURATION", "6.0"))
     stream = world.generate(duration, frame_rate, imu_rate)  # one device call
     log(f"stream generated: {len(stream)} events "
@@ -97,7 +103,7 @@ def main():
     log(f"rendering done: {len(frames)} frames (device-resident)")
 
     fe = FrontEnd(
-        cam, (H, W), max_cnt=200, min_dist=20, n_slots=256,
+        cam, (H, W), max_cnt=max_cnt, min_dist=20, n_slots=n_slots,
         annulus=(W / 2.0, H / 2.0, 500.0 * 0.95, 160.0), equalize=True,
         dtype=jnp.float32,
     )
@@ -107,8 +113,8 @@ def main():
     # a 15 fps camera) with unpublished frames' harvests batched — every
     # device->host fetch has crossed the link before it is needed.
     est = Estimator(EstimatorConfig(
-        n_feature_slots=256, solver_dtype=jnp.float32, solve_lag=2,
-        max_imu_per_interval=64,
+        n_feature_slots=n_slots, window=window, solver_dtype=jnp.float32,
+        solve_lag=2, max_imu_per_interval=64,
     ))
     pipe = VioPipeline(fe, est, freq=10.0, depth=3)
 

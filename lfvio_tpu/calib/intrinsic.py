@@ -337,10 +337,12 @@ def _vij(H, i, j):
     )
 
 
-def calibrate_pinhole(obj_pts, img_pts, image_size, refine_iters: int = 40):
-    """Zhang's method + rad-tan GN refinement.
-
-    Returns (params dict for PinholeCamera, extrinsics [(R, t)], rms_px)."""
+def _zhang_linear(obj_pts, img_pts):
+    """Zhang's linear stage: homographies → B-matrix → (α, β, u0, v0) and
+    per-view extrinsics. Shared by the pinhole, Mei and Kannala-Brandt
+    drivers (the latter two use it as a central-pinhole approximation to
+    seed their nonlinear refinement, the same bootstrap role the
+    reference's estimateIntrinsics plays)."""
     Hs = [
         _homography(_planar(XY), np.asarray(xy, np.float64))
         for XY, xy in zip(obj_pts, img_pts)
@@ -372,8 +374,15 @@ def calibrate_pinhole(obj_pts, img_pts, image_size, refine_iters: int = 40):
             R, t = -R, -t  # board must be in front
             R[:, 2] = np.cross(R[:, 0], R[:, 1])
         exts.append((R, t))
+    return alpha, beta, u0, v0, exts
 
-    Kv = len(Hs)
+
+def calibrate_pinhole(obj_pts, img_pts, image_size, refine_iters: int = 40):
+    """Zhang's method + rad-tan GN refinement.
+
+    Returns (params dict for PinholeCamera, extrinsics [(R, t)], rms_px)."""
+    alpha, beta, u0, v0, exts = _zhang_linear(obj_pts, img_pts)
+    Kv = len(exts)
 
     def pack():
         x = [[alpha, beta, u0, v0, 0.0, 0.0, 0.0, 0.0]]
@@ -415,6 +424,130 @@ def calibrate_pinhole(obj_pts, img_pts, image_size, refine_iters: int = 40):
     x_opt, rms = _gauss_newton(residuals, pack(), n_iters=refine_iters)
     (fx, fy, cx, cy, k1, k2, p1, p2), ext = unpack(x_opt)
     params = dict(fx=fx, fy=fy, cx=cx, cy=cy, k1=k1, k2=k2, p1=p1, p2=p2)
+    return params, ext, rms
+
+
+# --------------------------------------------------------------------------
+# Mei (unified catadioptric) calibration
+# --------------------------------------------------------------------------
+
+def _mei_project_np(params, Pc):
+    """Numpy (f64) mirror of MeiCamera.space_to_plane."""
+    xi, k1, k2, p1, p2, g1, g2, u0, v0 = params
+    n = np.linalg.norm(Pc, axis=-1)
+    z = Pc[:, 2] + xi * n
+    z = np.where(np.abs(z) < 1e-12, 1e-12, z)
+    x = Pc[:, 0] / z
+    y = Pc[:, 1] / z
+    r2 = x * x + y * y
+    rad = k1 * r2 + k2 * r2 * r2
+    dx = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    dy = y * rad + 2 * p2 * x * y + p1 * (r2 + 2 * y * y)
+    return np.stack([g1 * (x + dx) + u0, g2 * (y + dy) + v0], -1)
+
+
+def _per_view_refine(project_np, params, obj_pts, img_pts, exts,
+                     refine_iters):
+    """Shared intrinsics+extrinsics GN refinement on pixel residuals for
+    the non-pinhole drivers (same LM harness as the OCAM/pinhole paths —
+    the counterpart of the reference's one Ceres cost-function factory,
+    CostFunctionFactory.cc:533-822)."""
+    Kv = len(exts)
+    n_int = len(params)
+    all_XY = [_planar(XY) for XY in obj_pts]
+    all_xy = [np.asarray(xy, np.float64) for xy in img_pts]
+
+    def pack():
+        x = [np.asarray(params, np.float64)]
+        for R, t in exts:
+            x.append(hg.so3_log(hg.mat_to_quat(R)))
+            x.append(np.asarray(t, np.float64))
+        return np.concatenate(x)
+
+    def unpack(x):
+        pr = x[:n_int]
+        ext = []
+        off = n_int
+        for _ in range(Kv):
+            w = x[off : off + 3]
+            t = x[off + 3 : off + 6]
+            ext.append((hg.quat_to_mat(hg.so3_exp(w)), t))
+            off += 6
+        return pr, ext
+
+    def residuals(x):
+        pr, ext = unpack(x)
+        out = []
+        for (R, t), XY, xy in zip(ext, all_XY, all_xy):
+            Pc = XY @ R[:, :2].T + t
+            out.append((project_np(pr, Pc) - xy).ravel())
+        return np.concatenate(out)
+
+    x_opt, rms = _gauss_newton(residuals, pack(), n_iters=refine_iters)
+    pr, ext = unpack(x_opt)
+    return pr, ext, rms
+
+
+def calibrate_mei(obj_pts, img_pts, image_size, refine_iters: int = 60):
+    """Mei / unified-catadioptric calibration (reference: CataCamera +
+    CostFunctionFactory.cc:533-822 via calib/CameraCalibration.cc).
+
+    Bootstrap: Zhang's linear stage as a central-pinhole approximation with
+    ξ₀ = 1 (parabolic) — γ ≈ α/(1+ξ) — then a full GN refinement of
+    (ξ, k1, k2, p1, p2, γ1, γ2, u0, v0) + per-view extrinsics on pixel
+    reprojection. Returns (params dict for MeiCamera, extrinsics, rms_px).
+    """
+    alpha, beta, u0, v0, exts = _zhang_linear(obj_pts, img_pts)
+    xi0 = 1.0
+    params0 = np.array([
+        xi0, 0.0, 0.0, 0.0, 0.0,
+        alpha / (1.0 + xi0), beta / (1.0 + xi0), u0, v0,
+    ])
+    pr, ext, rms = _per_view_refine(
+        _mei_project_np, params0, obj_pts, img_pts, exts, refine_iters
+    )
+    params = dict(
+        xi=pr[0], k1=pr[1], k2=pr[2], p1=pr[3], p2=pr[4],
+        gamma1=pr[5], gamma2=pr[6], u0=pr[7], v0=pr[8],
+    )
+    return params, ext, rms
+
+
+# --------------------------------------------------------------------------
+# Kannala-Brandt (equidistant fisheye) calibration
+# --------------------------------------------------------------------------
+
+def _kb_project_np(params, Pc):
+    """Numpy (f64) mirror of KannalaBrandtCamera.space_to_plane."""
+    mu, mv, u0, v0, k2, k3, k4, k5 = params
+    rxy = np.sqrt(Pc[:, 0] ** 2 + Pc[:, 1] ** 2)
+    theta = np.arctan2(rxy, Pc[:, 2])
+    th2 = theta * theta
+    r = theta * (1.0 + th2 * (k2 + th2 * (k3 + th2 * (k4 + th2 * k5))))
+    safe = np.maximum(rxy, 1e-12)
+    xd = r * Pc[:, 0] / safe
+    yd = r * Pc[:, 1] / safe
+    return np.stack([mu * xd + u0, mv * yd + v0], -1)
+
+
+def calibrate_kannala_brandt(obj_pts, img_pts, image_size,
+                             refine_iters: int = 60):
+    """Kannala-Brandt (equidistant fisheye) calibration (reference:
+    EquidistantCamera + CostFunctionFactory.cc via CameraCalibration.cc).
+
+    Bootstrap: Zhang's linear stage (for small θ, r(θ) ≈ θ makes the model
+    pinhole-like with f = μ), then full GN refinement of
+    (μ, ν, u0, v0, k2..k5) + per-view extrinsics on pixel reprojection.
+    Returns (params dict for KannalaBrandtCamera, extrinsics, rms_px)."""
+    alpha, beta, u0, v0, exts = _zhang_linear(obj_pts, img_pts)
+    params0 = np.array([alpha, beta, u0, v0, 0.0, 0.0, 0.0, 0.0])
+    pr, ext, rms = _per_view_refine(
+        _kb_project_np, params0, obj_pts, img_pts, exts, refine_iters
+    )
+    params = dict(
+        mu=pr[0], mv=pr[1], u0=pr[2], v0=pr[3],
+        k2=pr[4], k3=pr[5], k4=pr[6], k5=pr[7],
+    )
     return params, ext, rms
 
 

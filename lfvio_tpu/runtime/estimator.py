@@ -34,7 +34,7 @@ from ..backend import (
     lm_solve,
     yaw_gauge_fix,
 )
-from ..backend.state import WINDOW, NFRAMES, pose_dim
+from ..backend.state import WINDOW  # default window length only
 from ..backend.triangulate import triangulate_grid
 from ..backend.marginalize import marginalize_old_qr, marginalize_second_new_qr
 from ..vinit import solve_relative_rt, global_sfm, visual_imu_alignment
@@ -45,6 +45,11 @@ from .feature_manager import HostFeatureManager
 @dataclasses.dataclass
 class EstimatorConfig:
     n_feature_slots: int = 256
+    # Sliding-window keyframes (reference WINDOW_SIZE, parameters.h:12 —
+    # compile-time there, a config here; BASELINE config #4 runs 20).
+    # Every downstream shape (solver layout, grids, priors, IMU buffers)
+    # derives from this.
+    window: int = WINDOW
     # Cameras in the rig (dual-PAL up+down = 2). tic/ric may be per-camera
     # arrays ([C,3] / [C,3,3]) when n_cams > 1.
     n_cams: int = 1
@@ -90,6 +95,10 @@ class Estimator:
 
     def __init__(self, cfg: EstimatorConfig):
         self.cfg = cfg
+        # Window geometry (instance-level so one process can run several
+        # estimators with different window lengths side by side).
+        self.WIN = int(cfg.window)
+        self.NF = self.WIN + 1
         # Optional device→host fetch submitter (tree -> future), installed
         # by VioPipeline's _FetchPool: solve-result fetches then ride
         # worker-thread RPCs started at dispatch instead of a blocking
@@ -136,7 +145,7 @@ class Estimator:
     # ------------------------------------------------------------------ state
     def clear_state(self):
         cfg = self.cfg
-        W1 = NFRAMES
+        W1 = self.NF
         self.Ps = np.zeros((W1, 3))
         self.Qs = np.tile(np.array([1.0, 0, 0, 0]), (W1, 1))
         self.Vs = np.zeros((W1, 3))
@@ -404,10 +413,13 @@ class Estimator:
         if dtype is None or dtype == self.cfg.solver_dtype:
             if self._empty_prior_cache is None:
                 self._empty_prior_cache = PriorFactor.empty(
-                    dtype=self.cfg.solver_dtype, n_cams=self.cfg.n_cams
+                    dtype=self.cfg.solver_dtype, n_frames=self.NF,
+                    n_cams=self.cfg.n_cams,
                 )
             return self._empty_prior_cache
-        return PriorFactor.empty(dtype=dtype, n_cams=self.cfg.n_cams)
+        return PriorFactor.empty(
+            dtype=dtype, n_frames=self.NF, n_cams=self.cfg.n_cams
+        )
 
     # ------------------------------------------------------------ packed args
     def _build_pack_layout(self):
@@ -420,7 +432,7 @@ class Estimator:
         setups/frame. Bools ride as 0/1, int indices as exact small floats."""
         cfg = self.cfg
         F, W1, W, M, C = (
-            cfg.n_feature_slots, NFRAMES, WINDOW,
+            cfg.n_feature_slots, self.NF, self.WIN,
             cfg.max_imu_per_interval, cfg.n_cams,
         )
         entries = [
@@ -634,7 +646,7 @@ class Estimator:
         self.tmp_start = (self.acc_0.copy(), self.gyr_0.copy())
 
         if self.solver_flag == self.INITIAL:
-            if self.frame_count == WINDOW:
+            if self.frame_count == self.WIN:
                 ok = False
                 # The bootstrap needs a trusted extrinsic rotation
                 # (estimator.cpp:152: init waits while ESTIMATE_EXTRINSIC==2).
@@ -686,8 +698,8 @@ class Estimator:
 
     def _record_output(self, t):
         self.times.append(t)
-        self.traj_p.append(self.Ps[WINDOW].copy())
-        self.traj_q.append(self.Qs[WINDOW].copy())
+        self.traj_p.append(self.Ps[self.WIN].copy())
+        self.traj_q.append(self.Qs[self.WIN].copy())
 
     # ------------------------------------------------------------------ relo
     def set_relo_frame(
@@ -718,7 +730,7 @@ class Estimator:
         from ..vinit.pnp import pnp_bearing_gn
 
         idx = None
-        for i in range(WINDOW):
+        for i in range(self.WIN):
             if abs(self.headers[i] - frame_stamp) < 1e-7:
                 idx = i
         if idx is None or self.solver_flag != self.NON_LINEAR:
@@ -823,7 +835,7 @@ class Estimator:
         solves in flight; costs ~2(n+1) solve executions."""
         import time as _time
 
-        if self.frame_count < WINDOW or self.solver_flag != self.NON_LINEAR:
+        if self.frame_count < self.WIN or self.solver_flag != self.NON_LINEAR:
             return None
         packed = self._pack_solve_buffer(self.Ps[0], self.Qs[0])
         prior = self.prior if self.prior is not None else self._empty_prior()
@@ -859,7 +871,7 @@ class Estimator:
         """Launch the frame's solve + marginalization device programs without
         synchronizing; completion state goes to ``self._pending`` for
         :meth:`finalize_solve`."""
-        if self.frame_count < WINDOW:
+        if self.frame_count < self.WIN:
             return
         while len(self._pending_q) >= max(self.cfg.solve_lag, 1):
             self.finalize_solve()  # safety net for direct (non-pipeline) use
@@ -1000,17 +1012,17 @@ class Estimator:
             # The dispatched frame's solved pose (pre-slide slot W).
             p_s, q_s = state_host[0], state_host[1]
             self.times.append(pend["t"])
-            self.traj_p.append(np.asarray(p_s[WINDOW], np.float64))
-            self.traj_q.append(np.asarray(q_s[WINDOW], np.float64))
-            self.last_R = hg.quat_to_mat(np.asarray(q_s[WINDOW], np.float64))
-            self.last_P = np.asarray(p_s[WINDOW], np.float64).copy()
+            self.traj_p.append(np.asarray(p_s[self.WIN], np.float64))
+            self.traj_q.append(np.asarray(q_s[self.WIN], np.float64))
+            self.last_R = hg.quat_to_mat(np.asarray(q_s[self.WIN], np.float64))
+            self.last_P = np.asarray(p_s[self.WIN], np.float64).copy()
             if not pend["first"]:
                 self.last_R0 = hg.quat_to_mat(np.asarray(q_s[0], np.float64))
                 self.last_P0 = np.asarray(p_s[0], np.float64).copy()
         else:
             self._record_output(pend["t"])
-            self.last_R = hg.quat_to_mat(self.Qs[WINDOW])
-            self.last_P = self.Ps[WINDOW].copy()
+            self.last_R = hg.quat_to_mat(self.Qs[self.WIN])
+            self.last_P = self.Ps[self.WIN].copy()
             if not pend["first"]:
                 self.last_R0 = hg.quat_to_mat(self.Qs[0])
                 self.last_P0 = self.Ps[0].copy()
@@ -1024,14 +1036,14 @@ class Estimator:
         p, q, v, ba, bg, tic, qic, td, inv_depth = [
             np.asarray(a, np.float64) for a in state_host
         ]
-        src = np.arange(NFRAMES)
+        src = np.arange(self.NF)
         n_old = 0
         for marg_old in pend["slides"]:
             if marg_old:
                 src = np.concatenate([src[1:], [-1]])
                 n_old += 1
             else:
-                src = np.concatenate([src[: WINDOW - 1], src[WINDOW:], [-1]])
+                src = np.concatenate([src[: self.WIN - 1], src[self.WIN:], [-1]])
         ok = src >= 0
         self.Ps[ok] = p[src[ok]]
         self.Qs[ok] = q[src[ok]]
@@ -1094,7 +1106,7 @@ class Estimator:
         relo_p = np.asarray(relo_p, np.float64)
         relo_q = np.asarray(relo_q, np.float64)
         idx = None
-        for i in range(NFRAMES):
+        for i in range(self.NF):
             if abs(self.headers[i] - meta["stamp"]) < 1e-7:
                 idx = i
         if idx is None:
@@ -1169,7 +1181,7 @@ class Estimator:
 
     # ------------------------------------------------------------------ slide
     def _slide_window(self):
-        if self.frame_count < WINDOW:
+        if self.frame_count < self.WIN:
             return
         if self.marg_old:
             back_R0 = hg.quat_to_mat(self.Qs[0])
@@ -1237,11 +1249,11 @@ class Estimator:
     # ------------------------------------------------------------ failure det
     def _failure_detection(self):
         """estimator.cpp:628-674 (active checks only)."""
-        if np.linalg.norm(self.Bgs[WINDOW]) > 1.0:
+        if np.linalg.norm(self.Bgs[self.WIN]) > 1.0:
             return True
-        if np.linalg.norm(self.Ps[WINDOW] - self.last_P) > 5.0:
+        if np.linalg.norm(self.Ps[self.WIN] - self.last_P) > 5.0:
             return True
-        if abs(self.Ps[WINDOW][2] - self.last_P[2]) > 1.0:
+        if abs(self.Ps[self.WIN][2] - self.last_P[2]) > 1.0:
             return True
         return False
 
@@ -1302,8 +1314,8 @@ class Estimator:
         tic0 = self._tic0()
         # 1. relative pose pivot.
         rel = None
-        for i in range(WINDOW):
-            b1, b2, _ = self.fm.corresponding(i, WINDOW)
+        for i in range(self.WIN):
+            b1, b2, _ = self.fm.corresponding(i, self.WIN)
             if len(b1) > 20:
                 # parallax on the z=1 plane (reference uses plane coords).
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -1322,7 +1334,7 @@ class Estimator:
 
         # 2. global SfM over the window features.
         obs = self.fm.observations_dict()
-        ok, q_sfm, T_sfm, points = global_sfm(NFRAMES, l, rel_R, rel_T, obs)
+        ok, q_sfm, T_sfm, points = global_sfm(self.NF, l, rel_R, rel_T, obs)
         if not ok:
             self.marg_old = True
             return False
@@ -1333,7 +1345,7 @@ class Estimator:
         frame_poses = []  # (R world<-imu, T) per all_frames entry
         ki = 0
         for fr in self.all_frames:
-            if ki < NFRAMES and abs(fr["t"] - self.headers[ki]) < 1e-9:
+            if ki < self.NF and abs(fr["t"] - self.headers[ki]) < 1e-9:
                 R_wc = hg.quat_to_mat(q_sfm[ki])
                 fr["R"] = R_wc @ ric.T
                 fr["T"] = T_sfm[ki]
@@ -1401,7 +1413,7 @@ class Estimator:
 
         # 5. visualInitialAlign (estimator.cpp:367-443).
         kf = [f for f in self.all_frames if f["is_key"]]
-        for i in range(NFRAMES):
+        for i in range(self.NF):
             self.Ps[i] = kf[i]["T"]
             self.Qs[i] = hg.mat_to_quat(np.asarray(kf[i]["R"]))
         self.Bgs[:] = self.Bgs + dbg
@@ -1422,9 +1434,9 @@ class Estimator:
         self.fm.depth[used] = 1.0 / np.maximum(inv_d[used], 1e-6)
 
         # Rescale: Ps = s*Ps - Rs*tic - (s*Ps0 - Rs0*tic); depths *= s.
-        R0s = [hg.quat_to_mat(self.Qs[i]) for i in range(NFRAMES)]
+        R0s = [hg.quat_to_mat(self.Qs[i]) for i in range(self.NF)]
         base = s * self.Ps[0] - R0s[0] @ tic0
-        for i in range(NFRAMES - 1, -1, -1):
+        for i in range(self.NF - 1, -1, -1):
             self.Ps[i] = s * self.Ps[i] - R0s[i] @ tic0 - base
         kv = -1
         for fr, af in zip(self.all_frames, align_frames):
@@ -1438,7 +1450,7 @@ class Estimator:
         yaw = float(hg.R_to_ypr_deg(R0 @ R0s[0])[0])
         R0 = hg.ypr_deg_to_R([-yaw, 0.0, 0.0]) @ R0
         self.gravity = R0 @ g_vis
-        for i in range(NFRAMES):
+        for i in range(self.NF):
             Ri = R0 @ R0s[i]
             self.Ps[i] = R0 @ self.Ps[i]
             self.Vs[i] = R0 @ self.Vs[i]

@@ -293,13 +293,11 @@ class VioPipeline:
         if est.solver_flag != est.NON_LINEAR or not est.times:
             self._tmp = None
             return
-        from ..backend.state import WINDOW
-
-        P = est.Ps[WINDOW].copy()
-        Q = est.Qs[WINDOW].copy()
-        V = est.Vs[WINDOW].copy()
-        Ba = est.Bas[WINDOW].copy()
-        Bg = est.Bgs[WINDOW].copy()
+        P = est.Ps[-1].copy()
+        Q = est.Qs[-1].copy()
+        V = est.Vs[-1].copy()
+        Ba = est.Bas[-1].copy()
+        Bg = est.Bgs[-1].copy()
         remaining = [s for s in self._recent_imu if s[0] > t_frame]
         acc0 = remaining[0][1] if remaining else est.acc_0.copy()
         gyr0 = remaining[0][2] if remaining else est.gyr_0.copy()

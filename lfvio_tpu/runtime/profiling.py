@@ -281,15 +281,14 @@ def profile_frontend(n=10, width=1280, height=960, dtype=None):
     fe.process_arrays(img0, 0.0)
 
     results.append(time_stage(
-        "preprocess (CLAHE + 4-level pyramid)", fe._pre, (img1,), n=n))
-    pyr1 = fe._pre(img1)
+        "preprocess alone (CLAHE + 4-level pyramid)", fe._pre, (img1,), n=n))
     import jax.random as jrandom
 
     key = jrandom.PRNGKey(0)
     results.append(time_stage(
-        "tracker fused step (KLT+RANSAC+detect)",
+        "tracker fused step (pre+KLT+RANSAC+detect)",
         lambda *a: fe._step(*a, publish=True),
-        (fe.prev_pyr, pyr1, jnp.asarray(fe.pos, dtype),
+        (fe.prev_pyr, img1, jnp.asarray(fe.pos, dtype),
          jnp.asarray(fe.ids >= 0), key), n=n))
     return results
 

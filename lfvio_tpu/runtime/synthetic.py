@@ -279,6 +279,18 @@ class SyntheticWorld:
                             jnp.asarray(p, ft))
         )
 
+    def render_rig(self, t, ric, tic):
+        """Render from a camera mounted at (ric, tic) in the IMU frame —
+        e.g. the DOWN camera of a dual-PAL rig (ric = diag(1,-1,-1))."""
+        p, q = self.pose(t)
+        R_wi = _np_quat_to_mat(q)
+        R_wc = R_wi @ np.asarray(ric, np.float64)
+        t_wc = p + R_wi @ np.asarray(tic, np.float64)
+        ft = _ftype()
+        return np.asarray(
+            self._render(jnp.asarray(R_wc, ft), jnp.asarray(t_wc, ft))
+        )
+
     # ----------------------------------------------------------- full dataset
     def generate(self, duration, frame_rate=15.0, imu_rate=200.0):
         """Returns a measurement stream: ('imu', t, acc, gyr) and

@@ -32,6 +32,21 @@ from ..frontend import (
 from ..frontend.klt_pallas import pyramidal_lk_pallas
 
 
+class IdCounter:
+    """Shared feature-id allocator: multi-camera rigs draw ids for ALL
+    cameras from one sequence so the estimator's id space is global (the
+    reference's dual-PAL rig publishes one feature-id namespace across both
+    images, estimator_node.cpp:292-312)."""
+
+    def __init__(self):
+        self.next = 0
+
+    def take(self, k: int) -> int:
+        s = self.next
+        self.next += int(k)
+        return s
+
+
 class FrontEnd:
     def __init__(
         self,
@@ -56,6 +71,7 @@ class FrontEnd:
         # at once) measures 0.07 ms/frame vs 12.8 ms for the Pallas kernel
         # on the v5e — the kernel loops features sequentially and starves
         # the MXU. Kept selectable for A/B and as kernel-infra reference.
+        id_counter: IdCounter | None = None,  # shared across cameras
     ):
         # ALL persistent array state that the jitted programs close over
         # must be HOST (numpy): on the axon (network-tunnel) TPU backend, a
@@ -90,7 +106,7 @@ class FrontEnd:
         self.pos = np.zeros((self.N, 2), np.float64)
         self.ids = np.full(self.N, -1, np.int64)
         self.track_cnt = np.zeros(self.N, np.int64)
-        self.next_id = 0
+        self._ids_src = id_counter if id_counter is not None else IdCounter()
         self.prev_pyr = None
         self.prev_time = None
         self.prev_bearing = np.zeros((self.N, 3))
@@ -104,11 +120,17 @@ class FrontEnd:
         self._dev_pos = None
         self._dev_valid = None
 
-        # Preprocessing (CLAHE + pyramid) is its own dispatch: embedding the
-        # CLAHE sort/LUT in the big fused program trips an XLA scheduling
-        # pathology on TPU (~52 ms extra); standalone it costs <0.5 ms, and
-        # the extra dispatch is async so no tunnel round trip is added.
-        self._pre = jax.jit(self._preprocess)
+        # ONE fused program per frame: preprocessing (CLAHE + pyramid), the
+        # RNG-key advance, and the full track/reject/detect/lift step.
+        # Measured on the v5e tunnel, EVERY program execution carries
+        # ~1.0–1.5 ms of fixed overhead regardless of size, so the round-4
+        # split (separate preprocess dispatch + eager host-side key split)
+        # paid ~3 ms/frame of pure overhead. (The round-4 note about CLAHE
+        # "tripping a scheduling pathology ~52 ms when fused" was actually
+        # the gather-bound CLAHE's true cost, visible only in the fused
+        # program because the old timing methodology never waited on the
+        # standalone one; the MXU CLAHE fuses fine.)
+        self._pre = jax.jit(self._preprocess)  # kept for tools/tests
         self._first = jax.jit(self._first_impl)
         self._step = jax.jit(self._step_impl, static_argnames=("publish",))
 
@@ -173,8 +195,10 @@ class FrontEnd:
         )
         return pos_next, valid_next, new_src
 
-    def _first_impl(self, pyr):
-        """First frame: detect + place into slots (all on device)."""
+    def _first_impl(self, img):
+        """First frame: preprocess + detect + place into slots, one fused
+        program."""
+        pyr = self._preprocess(img)
         static_mask = jnp.asarray(self.static_mask)  # numpy -> trace constant
         resp = shi_tomasi_response(pyr[0])
         new_pts, new_ok = select_features(
@@ -186,16 +210,20 @@ class FrontEnd:
             jnp.zeros((self.N, 2), self.dtype),
             jnp.zeros((self.N,), bool), new_pts, new_ok,
         )
-        return pos0, valid0, (pos0, valid0, new_src)
+        return pyr, pos0, valid0, (pos0, valid0, new_src)
 
-    def _step_impl(self, pyr_prev, pyr, pos, valid, key, publish: bool):
-        """Fused per-frame device step (pyr from the preprocessing dispatch).
+    def _step_impl(self, pyr_prev, img, pos, valid, key, publish: bool):
+        """Fused per-frame device step: preprocess (CLAHE + pyramid), RNG
+        advance, pyramidal LK, rejection, refill detection, bearing lift —
+        ONE program (one fixed per-execution overhead on the tunnel).
 
-        Returns (pos_next, valid_next, host_outs): the first two continue
-        the device-resident slot chain; host_outs = (status, new_src,
-        pos_next, bear_next, valid_next) is everything the (possibly
-        one-frame-late) host bookkeeping needs.
+        Returns (pyr, pos_next, valid_next, key_next, host_outs): pyr /
+        pos / valid / key continue the device-resident chain; host_outs =
+        (status, new_src, pos_next, bear_next, valid_next) is everything
+        the (possibly one-frame-late) host bookkeeping needs.
         """
+        pyr = self._preprocess(img)
+        key_next, sub = jax.random.split(key)
         if self.use_pallas:
             pts_next, ok = pyramidal_lk_pallas(
                 list(pyr_prev), list(pyr), pos, valid, self.n_levels
@@ -220,7 +248,7 @@ class FrontEnd:
             # Spherical RANSAC on prev vs cur bearings (rejectWithF).
             b_prev = self._lift(pos)
             b_cur = self._lift(pts_next)
-            _, inl = spherical_ransac_e(key, b_prev, b_cur, status)
+            _, inl = spherical_ransac_e(sub, b_prev, b_cur, status)
             enough = jnp.sum(status) >= 8
             status = jnp.where(enough, status & inl, status)
 
@@ -239,7 +267,7 @@ class FrontEnd:
             new_src = jnp.full((self.N,), -1, jnp.int32)
 
         bear_next = self._lift(pos_next)
-        return pos_next, valid_next, (
+        return pyr, pos_next, valid_next, key_next, (
             status, new_src, pos_next, bear_next, valid_next
         )
 
@@ -257,17 +285,19 @@ class FrontEnd:
         schedule over a network-tunneled TPU).
         """
         img_dev = jnp.asarray(img)
-        pyr = self._pre(img_dev)
         if self._dev_pos is None:
-            pos0, valid0, outs = self._first(pyr)
+            pyr, pos0, valid0, outs = self._first(img_dev)
             self.prev_pyr = pyr
             self._dev_pos, self._dev_valid = pos0, valid0
             return ("first", pyr, outs, t, publish)
 
-        self.key, sub = jax.random.split(self.key)
-        step_args = (self.prev_pyr, pyr, self._dev_pos, self._dev_valid, sub)
+        step_args = (
+            self.prev_pyr, img_dev, self._dev_pos, self._dev_valid, self.key
+        )
         try:
-            pos_next, valid_next, outs = self._step(*step_args, publish=publish)
+            pyr, pos_next, valid_next, key_next, outs = self._step(
+                *step_args, publish=publish
+            )
         except Exception as e:  # noqa: BLE001 — kernel compile failures
             if not self.use_pallas:
                 raise
@@ -287,8 +317,11 @@ class FrontEnd:
             self._step = jax.jit(
                 self._step_impl, static_argnames=("publish",)
             )
-            pos_next, valid_next, outs = self._step(*step_args, publish=publish)
+            pyr, pos_next, valid_next, key_next, outs = self._step(
+                *step_args, publish=publish
+            )
         self.prev_pyr = pyr
+        self.key = key_next
         self._dev_pos, self._dev_valid = pos_next, valid_next
         return ("step", pyr, outs, t, publish)
 
@@ -319,8 +352,8 @@ class FrontEnd:
             k = int(valid0.sum())
             slots = np.where(valid0)[0]
             self.pos = np.asarray(pos0, np.float64)
-            self.ids[slots] = np.arange(self.next_id, self.next_id + k)
-            self.next_id += k
+            s0 = self._ids_src.take(k)
+            self.ids[slots] = np.arange(s0, s0 + k)
             self.track_cnt[slots] = 1
             self.prev_time = t
             self.prev_bearing = np.zeros((self.N, 3))
@@ -345,10 +378,8 @@ class FrontEnd:
         # detection order, so ids keep the reference's detection ordering.
         new_slots = np.where(new_src >= 0)[0]
         if publish and len(new_slots):
-            self.ids[new_slots] = np.arange(
-                self.next_id, self.next_id + len(new_slots)
-            )
-            self.next_id += len(new_slots)
+            s0 = self._ids_src.take(len(new_slots))
+            self.ids[new_slots] = np.arange(s0, s0 + len(new_slots))
             self.track_cnt[new_slots] = 1
         valid = self.ids >= 0
 
@@ -385,3 +416,57 @@ class FrontEnd:
             int(ids[s]): (bearings[s].copy(), vels[s].copy(), float(rows[s]))
             for s in np.where(pub)[0]
         }
+
+
+class DualFrontEnd:
+    """Image-level dual-PAL (two-camera) frontend: two FrontEnds with a
+    SHARED feature-id space, driven by one pipeline on (img_up, img_down)
+    frame tuples. The runtime half of the BASELINE ID06/ID10 dual-PAL rigs:
+    each camera runs its own full device program (CLAHE + pyramid + KLT +
+    RANSAC + refill against its own annulus mask); the published arrays are
+    the concatenation over cameras with a per-observation camera-id column
+    (the reference's per-entry camera id protocol,
+    estimator_node.cpp:292-312). Both device programs are dispatched
+    back-to-back — they pipeline on the device queue like any two frames.
+    """
+
+    def __init__(self, fe0: FrontEnd, fe1: FrontEnd):
+        # Rebind both trackers to one id sequence (ids already handed out
+        # by fe1's own counter would collide with fe0's).
+        shared = fe0._ids_src
+        fe1._ids_src = shared
+        self.fes = (fe0, fe1)
+
+    def reset(self):
+        for fe in self.fes:
+            fe.reset()
+
+    def dispatch(self, imgs, t: float, publish: bool = True):
+        h0 = self.fes[0].dispatch(imgs[0], t, publish=publish)
+        h1 = self.fes[1].dispatch(imgs[1], t, publish=publish)
+        # handle[2] is the pipeline's fetch tree (both cameras' outs ride
+        # one fetch).
+        return ("dual", (h0, h1), (h0[2], h1[2]), t, publish)
+
+    def finalize(self, handle, host_outs=None):
+        _, (h0, h1), outs, t, publish = handle
+        if host_outs is None:
+            import jax
+
+            host_outs = jax.device_get(outs)
+        o0 = self.fes[0].finalize(h0, host_outs[0])
+        o1 = self.fes[1].finalize(h1, host_outs[1])
+        if o0 is None or o1 is None:
+            return None
+        ids = np.concatenate([o0[0], o1[0]])
+        bearings = np.concatenate([o0[1], o1[1]])
+        vels = np.concatenate([o0[2], o1[2]])
+        rows = np.concatenate([o0[3], o1[3]])
+        pub = np.concatenate([o0[4], o1[4]])
+        cams = np.concatenate([
+            np.zeros(len(o0[0]), np.int32), np.ones(len(o1[0]), np.int32),
+        ])
+        return ids, bearings, vels, rows, pub, cams
+
+    def process_arrays(self, imgs, t: float, publish: bool = True):
+        return self.finalize(self.dispatch(imgs, t, publish))

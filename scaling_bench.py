@@ -9,7 +9,8 @@ is unavailable, so the mesh is the virtual CPU mesh
 collective program (psum/all_gather) and measure sharding overhead, not ICI
 bandwidth. Results are recorded in SCALING.md.
 
-Usage:  python scaling_bench.py [n_features]
+Usage:  python scaling_bench.py [n_features]          # feature-axis rows
+        python scaling_bench.py --kf [n_features]     # kf-axis (2-D mesh)
 """
 
 import os
@@ -90,5 +91,61 @@ def main():
     }))
 
 
+def main_kf():
+    """Keyframe-axis (2-D kf × f mesh) scaling rows: per-ROUND wall time of
+    the segmented trajectory solve (S segments × W-kf windows, Fseg
+    features each, BP boundary exchange) across mesh shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfvio_tpu.backend.state import SolverConfig
+    from lfvio_tpu.dist import make_kf_mesh, segmented_trajectory_solve
+    from lfvio_tpu.dist.synthetic_traj import make_segmented_problem, G_NORM
+    from lfvio_tpu.imu import ImuNoise
+
+    n_feat = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    noise = ImuNoise(0.02, 0.01, 0.04, 0.001)
+    cfg = SolverConfig(
+        max_iterations=6, estimate_td=False, estimate_extrinsic=False
+    )
+    n_dev = len(jax.devices())
+    shapes = [(s, f) for s in (1, 2, 4, 8) for f in (1, 2, 4)
+              if s * f <= n_dev and s * f in (1, 2, 4, 8)]
+    results = {}
+    n_outer = 4
+    for S, n_f in shapes:
+        Fseg = max(n_feat // max(S, 1) // n_f * n_f, n_f)
+        pb = make_segmented_problem(
+            S=max(S, 1), Wseg=5, Fseg=Fseg, dtype=jnp.float32, noise=0.0
+        )
+        mesh = make_kf_mesh(max(S, 1), n_f)
+
+        def step():
+            return segmented_trajectory_solve(
+                mesh, pb["states"], pb["grids"], pb["dts"], pb["accs"],
+                pb["gyrs"], pb["a0"], pb["g0"], pb["imu_valid"],
+                pb["priors"], noise, cfg, g_norm=G_NORM, n_outer=n_outer,
+            )
+        out = step()
+        jax.block_until_ready(out[0].p)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = step()
+        jax.block_until_ready(out[0].p)
+        dt = (time.perf_counter() - t0) / reps / n_outer
+        results[f"{S}x{n_f}"] = dt
+        print(f"mesh {S}x{n_f} (kf x f), Fseg={Fseg}: "
+              f"{dt*1e3:8.1f} ms/round", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "kf_axis_round_ms",
+        "segments_x_fshards": {k: round(v * 1e3, 1) for k, v in results.items()},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--kf":
+        main_kf()
+    else:
+        main()

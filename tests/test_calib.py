@@ -157,3 +157,74 @@ def test_chessboard_corner_detection():
             if np.linalg.norm(g.reshape(-1, 2) - gt, axis=-1).max() < 1.5:
                 return
     raise AssertionError("no flip of the detected grid matches row-major GT")
+
+
+def test_calibrate_mei_recovers_intrinsics():
+    """Mei/CataCamera calibration driver (reference CataCamera +
+    CostFunctionFactory.cc:533-822): round-trip recovery of a planted
+    unified-catadioptric model from synthetic chessboard views."""
+    from lfvio_tpu.calib import calibrate_mei
+    from lfvio_tpu.cam import MeiCamera
+
+    cam = MeiCamera(
+        xi=jnp.asarray(0.9), k1=jnp.asarray(-0.15), k2=jnp.asarray(0.03),
+        p1=jnp.asarray(3e-4), p2=jnp.asarray(-2e-4),
+        gamma1=jnp.asarray(430.0), gamma2=jnp.asarray(425.0),
+        u0=jnp.asarray(376.0), v0=jnp.asarray(240.0),
+    )
+    obj, img, _ = synth_chessboard_views(cam, 10, depth=0.8, seed=5)
+    params, ext, rms = calibrate_mei(obj, img, (752, 480))
+    assert rms < 0.05, rms  # px
+    # xi and gamma trade off along a near-degenerate family; the recovered
+    # model must agree with ground truth as a PROJECTION, which the rms
+    # gate above already asserts over all views. Center must be tight:
+    assert abs(params["u0"] - 376.0) < 1.0
+    assert abs(params["v0"] - 240.0) < 1.0
+    # Lift/project consistency of the recovered model vs ground truth.
+    cal = MeiCamera(**{k: jnp.asarray(v, jnp.float64)
+                       for k, v in params.items()})
+    ang = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    for r in (60.0, 130.0, 200.0):
+        pix = np.stack([376.0 + r * np.cos(ang), 240.0 + r * np.sin(ang)], -1)
+        b_gt = np.asarray(cam.lift_sphere(jnp.asarray(pix)))
+        b_cal = np.asarray(cal.lift_sphere(jnp.asarray(pix)))
+        err = np.degrees(np.arccos(np.clip(np.sum(b_gt * b_cal, -1), -1, 1)))
+        assert err.max() < 0.25, (r, err.max())
+
+
+def test_calibrate_kannala_brandt_recovers_intrinsics():
+    """Kannala-Brandt (equidistant fisheye) calibration driver (reference
+    EquidistantCamera): round-trip recovery from synthetic views spread
+    into the fisheye field."""
+    from lfvio_tpu.calib import calibrate_kannala_brandt
+    from lfvio_tpu.cam import KannalaBrandtCamera
+
+    cam = KannalaBrandtCamera(
+        mu=jnp.asarray(405.0), mv=jnp.asarray(400.0),
+        u0=jnp.asarray(376.0), v0=jnp.asarray(240.0),
+        k2=jnp.asarray(-0.02), k3=jnp.asarray(0.004),
+        k4=jnp.asarray(-0.001), k5=jnp.asarray(0.0002),
+    )
+    dirs = []
+    for psi in np.radians([8.0, 20.0, 35.0]):
+        for az in np.radians([0, 120, 240]):
+            dirs.append([np.sin(psi) * np.cos(az),
+                         np.sin(psi) * np.sin(az), np.cos(psi)])
+    obj, img, _ = synth_chessboard_views(
+        cam, 9, depth=0.8, seed=6, directions=dirs
+    )
+    params, ext, rms = calibrate_kannala_brandt(obj, img, (752, 480))
+    assert rms < 0.05, rms  # px
+    assert abs(params["mu"] - 405.0) < 2.0
+    assert abs(params["mv"] - 400.0) < 2.0
+    assert abs(params["u0"] - 376.0) < 1.0
+    assert abs(params["v0"] - 240.0) < 1.0
+    cal = KannalaBrandtCamera(**{k: jnp.asarray(v, jnp.float64)
+                                 for k, v in params.items()})
+    ang = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    for r in (60.0, 150.0, 240.0):
+        pix = np.stack([376.0 + r * np.cos(ang), 240.0 + r * np.sin(ang)], -1)
+        b_gt = np.asarray(cam.lift_sphere(jnp.asarray(pix)))
+        b_cal = np.asarray(cal.lift_sphere(jnp.asarray(pix)))
+        err = np.degrees(np.arccos(np.clip(np.sum(b_gt * b_cal, -1), -1, 1)))
+        assert err.max() < 0.25, (r, err.max())

@@ -206,3 +206,22 @@ def test_solver_wall_budget_binds(world, landmarks):
     cap_new = est._iterations_allowed()
     est.marg_old = True
     assert est._iterations_allowed() <= cap_new
+
+
+def test_configurable_window_length(world, landmarks):
+    """The window length is a config, not a compile-time constant
+    (reference WINDOW_SIZE, parameters.h:12; BASELINE config #4 needs 20).
+    A 20-keyframe window must initialize and track with the same accuracy
+    class as the default 10."""
+    est = Estimator(EstimatorConfig(
+        n_feature_slots=64, window=20, solver_dtype=jnp.float64,
+    ))
+    assert est.NF == 21 and est.Ps.shape == (21, 3)
+    run_bearing_stream(est, world, landmarks, duration=4.0, frame_rate=20.0)
+    assert est.solver_flag == est.NON_LINEAR, "init failed"
+    from lfvio_tpu.runtime.evaluation import ate_rmse
+
+    ts = np.asarray(est.times)
+    gt_p, _ = world.pose_batch(ts)
+    ate, n = ate_rmse(ts, np.asarray(est.traj_p), ts, gt_p)
+    assert n >= 30 and ate < 0.25, (n, ate)

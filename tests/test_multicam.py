@@ -191,3 +191,48 @@ def test_dual_pal_e2e_shared_features():
     gt_p, _ = world.pose_batch(times)
     ate, _n = ate_rmse(times, traj_p, times, gt_p)
     assert ate < 0.15, f"dual-PAL ATE {ate:.3f} m"
+
+
+def test_dual_pal_rendered_image_pipeline():
+    """IMAGE-LEVEL dual-PAL runtime (round-5): two rendered PAL streams
+    (up + down cameras), two full tracker device programs with a shared
+    feature-id space (DualFrontEnd), per-camera annulus masks, and the
+    n_cams=2 estimator — the runtime half of BASELINE configs ID06/ID10
+    (the stub test above remains the fast estimator-level path)."""
+    from lfvio_tpu.runtime.synthetic import SYN_MIN_R, SYN_MAX_R
+    from lfvio_tpu.runtime.tracker import FrontEnd, DualFrontEnd
+
+    cam = make_synthetic_pal_camera(dtype=jnp.float64)
+    world = SyntheticWorld(camera=cam)
+    H, W = world.height, world.width
+    annulus = (W / 2, H / 2, SYN_MAX_R, SYN_MIN_R)
+    fe0 = FrontEnd(cam, (H, W), max_cnt=90, min_dist=15, n_slots=128,
+                   annulus=annulus, equalize=False, dtype=jnp.float32)
+    fe1 = FrontEnd(cam, (H, W), max_cnt=90, min_dist=15, n_slots=128,
+                   annulus=annulus, equalize=False, dtype=jnp.float32,
+                   seed=1)
+    fe = DualFrontEnd(fe0, fe1)
+    est = Estimator(EstimatorConfig(
+        n_feature_slots=256, n_cams=2, tic=TICS, ric=RICS,
+        solver_dtype=jnp.float64,
+    ))
+    pipe = VioPipeline(fe, est)
+    stream = world.generate(duration=6.0, frame_rate=15.0, imu_rate=200.0)
+
+    def render_pair(t):
+        up = world.render_rig(t, RICS[0], TICS[0])
+        down = world.render_rig(t, RICS[1], TICS[1])
+        return up, down
+
+    times, traj_p, traj_q = pipe.run(stream, render_pair)
+
+    assert est.solver_flag == est.NON_LINEAR, "rendered dual-PAL init failed"
+    assert len(times) > 30, len(times)
+    # Observations from BOTH cameras participate in the window.
+    fm_cams = est.fm.cam[est.fm.valid]
+    assert (fm_cams == 0).any() and (fm_cams == 1).any()
+    gt_p, _ = world.pose_batch(np.asarray(times))
+    ate, n = ate_rmse(np.asarray(times), np.asarray(traj_p),
+                      np.asarray(times), gt_p)
+    assert np.isfinite(ate) and n > 30
+    assert ate < 0.25, f"rendered dual-PAL ATE {ate:.3f} m"

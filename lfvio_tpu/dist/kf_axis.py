@@ -189,7 +189,8 @@ def segmented_trajectory_solve(
     chain). boundary_weight scales the message sqrt-infos (1.0 = exact BP).
     Returns (states_out [S, ...], boundary_gap [S] — final ‖mismatch‖ of
     each shared keyframe pair, costs [S, 2] initial/final of the last
-    round, history [S, 2, n_outer] — per-round (gap, reserved))."""
+    round, history [S, 2, n_outer] — per-round (boundary gap,
+    ‖echo-correction‖) for convergence diagnostics)."""
     S = mesh.shape["kf"]
     n_f = mesh.shape["f"]
     dtype = states.p.dtype
@@ -412,13 +413,14 @@ def segmented_trajectory_solve(
                 w_last_m > 0,
                 jnp.linalg.norm(my_last[0] - recv_last[0]), 0.0,
             )
-            return (st, bnd_new), (c0_r, c1_r, gap_r, jnp.zeros((), dtype))
+            return (st, bnd_new), (c0_r, c1_r, gap_r,
+                                   jnp.linalg.norm(dmu_fwd))
 
         bnd0 = (
             _kf15(st, 0), eyeW, jnp.zeros((), dtype),
             _kf15(st, W1 - 1), eyeW, jnp.zeros((), dtype),
         )
-        (st, _), (c0_hist, c1_hist, gap_hist, du_hist) = jax.lax.scan(
+        (st, _), (c0_hist, c1_hist, gap_hist, dmu_hist) = jax.lax.scan(
             outer_round, (st, bnd0), jnp.arange(n_outer)
         )
         c0_last, c1_last = c0_hist[-1], c1_hist[-1]
@@ -435,6 +437,6 @@ def segmented_trajectory_solve(
         )
         st_out = jax.tree_util.tree_map(lambda x: x[None], st)
         return (st_out, gap[None], jnp.stack([c0_last, c1_last])[None],
-                jnp.stack([gap_hist, du_hist])[None])
+                jnp.stack([gap_hist, dmu_hist])[None])
 
     return run(states, grids, dts, accs, gyrs, a0, g0, imu_valid, priors)

@@ -53,6 +53,10 @@ def test_checkpoint_roundtrip(tmp_path):
     est.fm.feature_id[:5] = np.arange(5)
     est.fm.valid[:5, 2:7] = True
     est.fm.depth[:5] = 4.2
+    # Per-observation camera ids (dual-PAL) must survive a save/resume —
+    # a silent reset to camera 0 would bind camera-1 observations to the
+    # wrong extrinsic in every projection factor (round-4 advisory).
+    est.fm.cam[:5, 2:7] = np.tile([0, 1, 1, 0, 1], (5, 1))
 
     path = str(tmp_path / "ckpt.npz")
     save_checkpoint(path, est)
@@ -66,6 +70,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(est2.imu_buf[3]) == 7
     np.testing.assert_allclose(est2.imu_buf[3][2][1], est.imu_buf[3][2][1])
     np.testing.assert_allclose(est2.fm.depth[:5], 4.2)
+    np.testing.assert_array_equal(est2.fm.cam[:5, 2:7], est.fm.cam[:5, 2:7])
     assert est2.prior is None
 
 

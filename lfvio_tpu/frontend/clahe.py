@@ -72,11 +72,15 @@ def _clahe_mxu(img, clip_limit: float, grid: int):
     bins_t = bins.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(
         grid, grid, npix
     )
-    oh_hi_t = (bins_t[..., None] // 16 == nib).astype(dtype)  # [g,g,P,16]
-    oh_lo_t = (bins_t[..., None] % 16 == nib).astype(dtype)
-    hist = jnp.einsum("ijph,ijpl->ijhl", oh_hi_t, oh_lo_t).reshape(
-        grid, grid, n_bins
-    )
+    # bf16 one-hots: 0/1 are exact in bf16 and the MXU accumulates in f32,
+    # so the histogram is still exact — at half the HBM traffic (the
+    # one-hot tensors dominate this program's bytes).
+    oh_hi_t = (bins_t[..., None] // 16 == nib).astype(jnp.bfloat16)
+    oh_lo_t = (bins_t[..., None] % 16 == nib).astype(jnp.bfloat16)
+    hist = jnp.einsum(
+        "ijph,ijpl->ijhl", oh_hi_t, oh_lo_t,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(grid, grid, n_bins)
     lut = _tile_luts(hist, clip_limit, npix, n_bins, dtype)  # [g, g, 256]
 
     # ---- static corner-LUT stack per (tile, quadrant): pixels in quadrant
@@ -109,11 +113,12 @@ def _clahe_mxu(img, clip_limit: float, grid: int):
 
     # value under each corner LUT: exact one-hot bilinear form
     # V[.., p, c] = Σ_{h,l} oh_hi[p,h] · L[c,h,l] · oh_lo[p,l]
-    # precision=HIGHEST: the default TPU dot feeds operands as bf16, which
-    # rounds the (non-integer) LUT side to ~1 intensity step; the one-hot
-    # side is exact either way. FLOPs here are trivial, so the f32 passes
-    # cost nothing. The histogram einsum above stays default: 0/1 operands
-    # are bf16-exact and the MXU accumulates in f32.
+    # precision=HIGHEST on BOTH application contractions: the default TPU
+    # dot feeds bf16 operands, which rounds the (non-integer) LUT side by
+    # up to 0.5 intensity — measured to cost ~6 cm of e2e ATE through the
+    # KLT's sub-pixel sensitivity (A/B'd on-chip; the cheaper bf16 LUT
+    # path was reverted). Only the histogram (exact 0/1 operands, f32 MXU
+    # accumulation) rides bf16.
     hp = jax.lax.Precision.HIGHEST
     T = jnp.einsum("ijabph,ijabhm->ijabpm", oh_hi_q, L2h, precision=hp)
     T = T.reshape(grid, grid, 2, 2, p_blk, 4, 16)

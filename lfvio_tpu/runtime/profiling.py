@@ -134,6 +134,19 @@ class StageTime:
     note: str = ""
 
 
+def _enter_honest_timing():
+    """Force the backend into honest completion accounting. On the axon
+    tunnel backend, `block_until_ready` does NOT actually wait until the
+    process has performed at least one blocking device→host DATA fetch —
+    before that, every 'chained dispatch' timing returns in dispatch time
+    and silently queues the work (the round-4 numbers were all taken in
+    that mode; see REPORT.md). One tiny fetch flips the client permanently.
+    """
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.asarray(1.0, jnp.float32)))
+
+
 def time_stage(name, fn, args, n=20, chain_arg=None, note=""):
     """Compile fn(*args), then average n back-to-back dispatches with one
     trailing block_until_ready. chain_arg=i makes call k+1 consume call k's
@@ -141,6 +154,7 @@ def time_stage(name, fn, args, n=20, chain_arg=None, note=""):
     robust to any dispatch pipelining)."""
     import jax
 
+    _enter_honest_timing()
     t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
@@ -298,6 +312,16 @@ def print_table(results):
     print(f"{'stage':<{w}} {'device ms':>10} {'compile s':>10}  note")
     for r in results:
         print(f"{r.name:<{w}} {r.device_ms:>10.3f} {r.compile_s:>10.1f}  {r.note}")
+    print(
+        "\nNOTE: on the tunnel backend every program execution carries a"
+        " fixed ~1.0-1.5 ms overhead (and the chip is time-shared), so"
+        " SUB-program rows measured standalone are overhead-dominated:"
+        " e.g. the 172x172 Schur/Cholesky costs ~0.04 ms per iteration"
+        " INSIDE the fused solve but reads as several ms as its own"
+        " program. Trust whole-program rows; treat sub-rows as upper"
+        " bounds. (Round-4 tables predate honest completion accounting —"
+        " see REPORT.md.)"
+    )
 
 
 def main(argv=None):

@@ -86,6 +86,13 @@ class EstimatorConfig:
     # high-latency link). Estimates start from one-solve-stale states at
     # lag 2; LM re-converges, accuracy validated by the e2e suite.
     solve_lag: int = 1
+    # Device-resident estimator state chain (active when solve_lag > 1):
+    # solve k+1's window states are computed ON DEVICE from solve k's
+    # SOLVED output (slide + IMU propagation of the new frame) instead of
+    # the host's stale propagated mirrors — the lag-N pipeline then starts
+    # every LM from lag-1-quality states; the host mirrors remain the
+    # policy/output path (REPORT.md "device-resident estimator chain").
+    device_chain: bool = True
     solver_dtype: object = jnp.float32
     solve_device: str | None = None  # None = default backend
 
@@ -141,6 +148,11 @@ class Estimator:
         self._triangulate = jax.jit(triangulate_grid)
         self._pack_layout, self._pack_size = self._build_pack_layout()
         self._empty_prior_cache = None
+        # Device-resident state chain: refs of the previous solve's SOLVED
+        # window (p,q,v,ba,bg,tic,qic,td) + the marg kind of the eager
+        # slide that followed it. None = next solve seeds from host state.
+        self._chain = None
+        self._zero_chain_cache = None
 
     # ------------------------------------------------------------------ state
     def clear_state(self):
@@ -207,6 +219,9 @@ class Estimator:
         # Deferred-solve handles, oldest first (see process_image_arrays
         # defer_solve); length bounded by cfg.solve_lag.
         self._pending_q = []
+        # Restart/failure invalidates the device state chain: the next
+        # solve re-seeds from the host mirrors.
+        self._chain = None
         # Relocalization hooks (estimator_node.cpp:261-285).
         self.relo_relative_t = None
         self.relo_relative_q = None
@@ -449,6 +464,10 @@ class Estimator:
             ("a0", (W, 3)), ("g0", (W, 3)), ("imu_valid", (W,)),
             ("has_depth", (F,)), ("origin_p0", (3,)), ("origin_q0", (4,)),
             ("max_iter", ()),
+            # Device state chain controls: use_chain selects the advanced
+            # previous-solve state over the packed host state; marg_prev is
+            # the kind of the eager slide that followed that solve.
+            ("use_chain", ()), ("marg_prev", ()),
             ("relo_p", (3,)), ("relo_q", (4,)),
             ("relo_bearing", (F, 3)), ("relo_mask", (F,)),
         ]
@@ -459,7 +478,8 @@ class Estimator:
             off += n
         return layout, off
 
-    def _pack_solve_buffer(self, origin_p0, origin_q0, relo=None):
+    def _pack_solve_buffer(self, origin_p0, origin_q0, relo=None,
+                           chain_flags=None):
         """Fill a FRESH packed buffer from the host mirrors (fresh each
         dispatch: the upload is async and may borrow the numpy memory —
         same aliasing rule as _padded_window_arrays)."""
@@ -503,6 +523,9 @@ class Estimator:
         put("origin_p0", origin_p0)
         put("origin_q0", origin_q0)
         put("max_iter", self._iterations_allowed())
+        if chain_flags is not None:
+            put("use_chain", 1.0 if chain_flags[0] else 0.0)
+            put("marg_prev", 1.0 if chain_flags[1] else 0.0)
         if relo is not None:
             put("relo_p", relo["p"])
             put("relo_q", relo["q"])
@@ -542,9 +565,99 @@ class Estimator:
                 get("relo_mask") > 0.5)
         return state, grid, imu, misc, relo
 
-    def _solve_packed_impl(self, packed, prior):
+    def _zero_chain(self):
+        """Shape/dtype-stable dummy chain state (identity rotations so the
+        unused chained branch stays finite)."""
+        if self._zero_chain_cache is None:
+            sd = self.cfg.solver_dtype
+            W1, C = self.NF, self.cfg.n_cams
+            unit_q = jnp.asarray([1.0, 0, 0, 0], sd)
+            z3 = jnp.zeros((W1, 3), sd)
+            self._zero_chain_cache = (
+                z3, jnp.tile(unit_q, (W1, 1)), z3, z3, z3,
+                jnp.zeros((3,), sd) if C == 1 else jnp.zeros((C, 3), sd),
+                unit_q if C == 1 else jnp.tile(unit_q, (C, 1)),
+                jnp.zeros((), sd),
+            )
+        return self._zero_chain_cache
+
+    def _apply_chain(self, state, packed, chain, dts, accs, gyrs, a0, g0):
+        """Device-resident estimator chain: when `use_chain` is set in the
+        packed buffer, replace the packed (host-mirror) window states with
+        the ADVANCE of the previous solve's device output — apply the
+        eager slide that followed it (shift for MARGIN_OLD, newest-merge
+        for SECOND_NEW) and midpoint-propagate the new frame's state over
+        the newest interval's IMU samples (packed row W−1 holds exactly
+        the samples since the previous dispatch in BOTH slide kinds — the
+        SECOND_NEW interval merge lands in row W−2). The lag-N pipeline's
+        LM then starts from lag-1-quality states; the host mirrors stay
+        the policy/output path. Returns (state, origin_p0, origin_q0)."""
+        from .. import geom as g
+
+        L = self._pack_layout
+        dtype = state.p.dtype
+        use = packed[L["use_chain"][0]] > 0.5
+        m_prev = packed[L["marg_prev"][0]] > 0.5
+        cp, cq, cv, cba, cbg, ctic, cqic, ctd = chain
+        W = self.WIN
+
+        def shift(a):
+            so = jnp.concatenate([a[1:], a[-1:]], axis=0)
+            sn = a.at[W - 1].set(a[W])
+            return jnp.where(m_prev, so, sn)
+
+        p2, q2, v2, ba2, bg2 = (shift(x) for x in (cp, cq, cv, cba, cbg))
+
+        # Propagate the new frame (slot W) from the previous newest frame
+        # (post-slide slot W still holds it) over the newest interval.
+        ba_W = ba2[W]
+        bg_W = bg2[W]
+        g_vec = jnp.asarray([0.0, 0.0, self.cfg.g_norm], dtype)
+
+        def body(carry, s):
+            P, Q, V, a_prev, g_prev = carry
+            dt, acc, gyr = s
+            un_acc_0 = g.quat_to_mat(Q) @ (a_prev - ba_W) - g_vec
+            un_gyr = 0.5 * (g_prev + gyr) - bg_W
+            Q2 = g.quat_mul(Q, g.so3_exp(un_gyr * dt))
+            Q2 = Q2 / jnp.linalg.norm(Q2)
+            un_acc_1 = g.quat_to_mat(Q2) @ (acc - ba_W) - g_vec
+            un_acc = 0.5 * (un_acc_0 + un_acc_1)
+            P2 = P + dt * V + 0.5 * dt * dt * un_acc
+            V2 = V + dt * un_acc
+            return (P2, Q2, V2, acc, gyr), None
+
+        # Zero-padded sample rows are exact no-ops (dt = 0).
+        (P_end, Q_end, V_end, _, _), _ = jax.lax.scan(
+            body,
+            (p2[W], q2[W], v2[W], a0[W - 1], g0[W - 1]),
+            (dts[W - 1], accs[W - 1], gyrs[W - 1]),
+        )
+        p2 = p2.at[W].set(P_end)
+        q2 = q2.at[W].set(Q_end)
+        v2 = v2.at[W].set(V_end)
+
+        chained = WindowState(
+            p=p2, q=q2, v=v2, ba=ba2, bg=bg2,
+            tic=ctic, qic=cqic, td=ctd, inv_depth=state.inv_depth,
+        )
+        sel = lambda a, b: jnp.where(use, a, b)
+        state_out = WindowState(
+            p=sel(chained.p, state.p), q=sel(chained.q, state.q),
+            v=sel(chained.v, state.v), ba=sel(chained.ba, state.ba),
+            bg=sel(chained.bg, state.bg), tic=sel(chained.tic, state.tic),
+            qic=sel(chained.qic, state.qic), td=sel(chained.td, state.td),
+            inv_depth=state.inv_depth,
+        )
+        return state_out, chained.p[0], chained.q[0], use
+
+    def _solve_packed_impl(self, packed, prior, chain):
         state, grid, imu, misc, _ = self._unpack(packed)
         has_depth, op0, oq0, mi = misc
+        state, cp0, cq0, use = self._apply_chain(state, packed, chain, *imu[:5])
+        # Gauge origin: pre-solve frame 0 of whichever state seeds the LM.
+        op0 = jnp.where(use, cp0, op0)
+        oq0 = jnp.where(use, cq0, oq0)
         out = self._solve_step_impl(
             state, grid, *imu, prior, has_depth, op0, oq0, mi
         )
@@ -849,7 +962,8 @@ class Estimator:
             b[off_mi] = max_iter
             rng = np.random.default_rng(seed)
             b[off_p : off_p + n_p] += rng.normal(0.0, 0.05, n_p)
-            return self._solve_packed(jnp.asarray(b), prior)
+            return self._solve_packed(jnp.asarray(b), prior,
+                                      self._zero_chain())
 
         for mi in (1, self.cfg.max_iterations):  # ensure compiled + warm
             out = run(mi, 0)
@@ -897,8 +1011,22 @@ class Estimator:
                 relo,
                 mask=relo["mask"] & (self.fm.feature_id == relo["snap_ids"]),
             )
+        # Device state chain: active when the deep pipeline is on, the
+        # previous solve's device refs are alive, and this is an ordinary
+        # (non-relo, non-first) dispatch.
+        chain_on = (
+            self.cfg.device_chain
+            and self.cfg.solve_lag > 1
+            and self._chain is not None
+            and relo is None
+            and not first
+        )
         packed = jnp.asarray(
-            self._pack_solve_buffer(origin_p0, origin_q0, relo=relo)
+            self._pack_solve_buffer(
+                origin_p0, origin_q0, relo=relo,
+                chain_flags=(chain_on,
+                             self._chain["marg"] if chain_on else False),
+            )
         )
         if relo is not None:
             (out, pre, sqrt_info, imu_ok, relo_p, relo_q, c0, c1), grid = (
@@ -912,11 +1040,25 @@ class Estimator:
             )
             self._relo_active = None  # one-shot, like the reference
         else:
+            chain_state = (
+                self._chain["state"] if chain_on else self._zero_chain()
+            )
             (out, pre, sqrt_info, imu_ok, rn, rvalid, c0, c1), grid = (
-                self._solve_packed(packed, prior)
+                self._solve_packed(packed, prior, chain_state)
             )
             relo_refs = None
             relo_meta = None
+        # Arm (or invalidate) the chain for the NEXT dispatch: its advance
+        # needs this solve's output plus the kind of the eager slide below.
+        if (self.cfg.device_chain and self.cfg.solve_lag > 1
+                and relo is None):
+            self._chain = dict(
+                state=(out.p, out.q, out.v, out.ba, out.bg,
+                       out.tic, out.qic, out.td),
+                marg=bool(self.marg_old),
+            )
+        else:
+            self._chain = None
         if self.marg_old:
             new_prior = self._marg_old(out, grid, pre, sqrt_info, imu_ok, prior)
         else:
